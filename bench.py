@@ -1,0 +1,98 @@
+"""Headline benchmark: tracked frames/s per chip on a synthetic RGB-D
+sequence at the reference's operating point (640x480, 2000 ORB features,
+4 pyramid levels — `Examples/ORB_RGBD640x480.yaml:58-64`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is vs the reference's real-time design target of 30 fps on a
+desktop CPU (README.md:31, `Camera.fps`, BASELINE.md — the repo publishes no
+measured numbers; 30 fps input rate is its design envelope).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+
+REFERENCE_FPS = 30.0
+N_FRAMES = 40
+N_WARMUP = 6
+W, H = 640, 480
+CACHE = Path(__file__).parent / ".bench_cache"
+
+
+def get_sequence():
+    """Render (and cache) the benchmark sequence."""
+    import pickle
+
+    CACHE.mkdir(exist_ok=True)
+    f = CACHE / f"seq_{W}x{H}_{N_FRAMES}.pkl"
+    if f.exists():
+        with open(f, "rb") as fh:
+            return pickle.load(fh)
+    from orbslam_mapsave_tpu.io import synthetic
+
+    K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1.0]])
+    poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.5, yaw_range=0.5)
+    room = synthetic.BoxRoom(half_size=2.0, seed=11)
+    frames = []
+    for i in range(N_FRAMES):
+        gray, depth = room.render(K, poses[i], W, H)
+        frames.append((gray, depth))
+    data = {"K": K, "poses": poses, "frames": frames}
+    with open(f, "wb") as fh:
+        pickle.dump(data, fh)
+    return data
+
+
+def main():
+    data = get_sequence()
+    from orbslam_mapsave_tpu import config as config_mod
+    from orbslam_mapsave_tpu.pipeline import system as system_mod
+
+    cfg = config_mod.SystemConfig()
+    cfg.camera = config_mod.CameraConfig(
+        fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, width=W, height=H,
+        bf=520.0 * 0.08, th_depth=50.0, fps=30,
+    )
+    cfg.orb = config_mod.ORBConfig(n_features=2000, n_levels=4,
+                                   scale_factor=1.5)
+    cfg.max_keypoints = 2048
+    cfg.max_keyframes = 64
+    cfg.max_points = 16384
+    slam = system_mod.SLAMSystem(cfg, system_mod.Sensor.RGBD,
+                                 enable_loop_closing=False)
+
+    frames = data["frames"]
+    # warmup: triggers all jit compiles (init + track + mapping paths)
+    t_series = []
+    for i in range(N_FRAMES):
+        gray, depth = frames[i]
+        t0 = time.perf_counter()
+        slam.track_rgbd(gray, depth, 1000.0 + i / 30.0)
+        t_series.append(time.perf_counter() - t0)
+
+    steady = t_series[N_WARMUP:]
+    fps = len(steady) / sum(steady)
+    n_lost = sum(1 for (_, _, lost) in slam.tracker.trajectory if lost)
+    print(
+        f"[bench] frames={N_FRAMES} warmup={N_WARMUP} "
+        f"median_ms={1e3 * float(np.median(steady)):.1f} "
+        f"lost={n_lost} kfs={slam.n_keyframes} pts={slam.n_points}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "rgbd_tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Dataset loaders: TUM RGB-D, KITTI odometry mono, plus image-dir streams.
+
+Mirrors the reference's dataset entry points:
+- TUM-style `rgb.txt` lists read by `Examples/Monocular_LoadImages.cpp:151`
+  (`LoadImages`: skip 3-line header, parse ``timestamp filename`` pairs) and
+  the RGB-D variants (`RGBD_LoadImages.cpp`) which additionally read
+  `depth.txt` and an `associate.txt`.
+- Live-source mains (`Monocular.cc` V4L, `RGBD_RTSP.cpp`) are covered by
+  `ImageDirSource`, the offline equivalent.
+
+Images load as float32 grayscale in [0,255] (the pipeline, like the
+reference, extracts ORB on 8-bit grayscale; we keep float32 for the TPU path
+and round at the FAST comparisons).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    timestamp: float
+    rgb_path: str | None = None
+    depth_path: str | None = None
+
+
+def _imread_gray(path: str | Path) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I", "I;16"):
+        img = img.convert("L")
+    arr = np.asarray(img)
+    if arr.dtype == np.uint16 or arr.dtype == np.int32:
+        return arr.astype(np.float32)
+    return arr.astype(np.float32)
+
+
+def _imread_depth(path: str | Path, depth_factor: float) -> np.ndarray:
+    """TUM depth png: uint16, meters = value / DepthMapFactor
+    (`src/Tracking.cc:238-241,379`)."""
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path)).astype(np.float32)
+    if depth_factor not in (0.0, 1.0):
+        arr = arr / depth_factor
+    return arr
+
+
+def read_tum_list(path: str | Path) -> list[tuple[float, str]]:
+    """Parse a TUM rgb.txt/depth.txt: '# comment' lines then 't path'."""
+    out = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        t, p = line.split()[:2]
+        out.append((float(t), p))
+    return out
+
+
+def associate(rgb: list[tuple[float, str]], depth: list[tuple[float, str]],
+              max_dt: float = 0.02) -> list[FrameRecord]:
+    """Greedy nearest-timestamp association of rgb to depth (TUM tooling)."""
+    recs = []
+    dts = np.array([t for t, _ in depth])
+    for t, rp in rgb:
+        j = int(np.abs(dts - t).argmin())
+        if abs(dts[j] - t) <= max_dt:
+            recs.append(FrameRecord(t, rp, depth[j][1]))
+    return recs
+
+
+class TUMDataset:
+    """TUM RGB-D sequence directory: rgb.txt [+ depth.txt]."""
+
+    def __init__(self, root: str | Path, depth_factor: float = 5000.0):
+        self.root = Path(root)
+        self.depth_factor = depth_factor
+        rgb = read_tum_list(self.root / "rgb.txt")
+        depth_file = self.root / "depth.txt"
+        if depth_file.is_file():
+            self.records = associate(rgb, read_tum_list(depth_file))
+        else:
+            self.records = [FrameRecord(t, p) for t, p in rgb]
+        gt = self.root / "groundtruth.txt"
+        self.groundtruth_path = gt if gt.is_file() else None
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, i: int) -> tuple[float, np.ndarray, np.ndarray | None]:
+        r = self.records[i]
+        gray = _imread_gray(self.root / r.rgb_path)
+        depth = (
+            _imread_depth(self.root / r.depth_path, self.depth_factor)
+            if r.depth_path
+            else None
+        )
+        return r.timestamp, gray, depth
+
+    def __iter__(self) -> Iterator[tuple[float, np.ndarray, np.ndarray | None]]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+class KITTIDataset:
+    """KITTI odometry grayscale sequence: image_0/??????.png + times.txt."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.times = [
+            float(line)
+            for line in (self.root / "times.txt").read_text().split()
+            if line.strip()
+        ]
+        self.images = sorted((self.root / "image_0").glob("*.png"))
+
+    def __len__(self) -> int:
+        return min(len(self.times), len(self.images))
+
+    def __getitem__(self, i: int) -> tuple[float, np.ndarray, None]:
+        return self.times[i], _imread_gray(self.images[i]), None
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class ImageDirSource:
+    """Offline stand-in for the reference's live V4L/RTSP sources
+    (`Examples/Monocular.cc:58-61`): any directory of images at a fixed fps."""
+
+    def __init__(self, root: str | Path, fps: float = 30.0):
+        self.paths = sorted(
+            p for p in Path(root).iterdir() if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+        )
+        self.fps = fps
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        return i / self.fps, _imread_gray(self.paths[i]), None
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def open_dataset(root: str | Path, depth_factor: float = 5000.0):
+    root = Path(root)
+    if (root / "rgb.txt").is_file():
+        return TUMDataset(root, depth_factor)
+    if (root / "times.txt").is_file():
+        return KITTIDataset(root)
+    return ImageDirSource(root)

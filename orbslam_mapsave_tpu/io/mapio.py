@@ -1,0 +1,83 @@
+"""Map save/load — the fork's signature feature, array-native.
+
+The reference serializes its pointer graph with boost::binary archives
+(`System::SaveMap/LoadMap`, `src/System.cc:552-574`; `Map::save/load`,
+`src/Map.cc:31-133`) and rebuilds pointers by id search on load
+(SURVEY.md §5.4). Here the map IS arrays, so the checkpoint is a direct
+`.npz` container of the MapState fields plus a header — save/load is O(1)
+rebinding-free, replacing the reference's O(KF*MP) pointer fixup loops
+(`src/System.cc:148-195`).
+
+Format `orbtpu-map-v1`: numpy .npz (zip of .npy) with every MapState leaf
+under its field name + `__meta__` (json: version, capacities, counters).
+Cross-format parity with the reference's boost archive lives in
+`boost_parity.py`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..slammap.mapstate import MapState
+
+FORMAT_VERSION = "orbtpu-map-v1"
+# the reference writes a 0xdeadbeef sentinel at the tail (Map.cc:22,66);
+# we keep the tradition in the header for integrity checking
+SENTINEL = 0xDEADBEEF
+
+
+def save_map(path: str | Path, state: MapState) -> None:
+    """Write the full map state (`System::SaveMap` analogue)."""
+    arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
+    meta = {
+        "version": FORMAT_VERSION,
+        "sentinel": SENTINEL,
+        "kf_capacity": int(state.kf_capacity),
+        "pt_capacity": int(state.pt_capacity),
+        "n_features": int(state.n_features),
+        "n_kf": int(state.n_kf),
+        "n_pt": int(state.n_pt),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("__meta__.json", json.dumps(meta))
+        for k, v in arrays.items():
+            buf = io.BytesIO()
+            np.save(buf, v)
+            zf.writestr(f"{k}.npy", buf.getvalue())
+
+
+def load_map(path: str | Path) -> MapState:
+    """Read a map checkpoint (`System::LoadMap` analogue); validates the
+    sentinel like `Map::load` (`src/Map.cc:127-131`)."""
+    with zipfile.ZipFile(Path(path), "r") as zf:
+        meta = json.loads(zf.read("__meta__.json"))
+        if meta.get("sentinel") != SENTINEL or meta.get("version") != FORMAT_VERSION:
+            raise ValueError(
+                f"bad map file {path}: version={meta.get('version')!r}"
+            )
+        fields = {}
+        for k in MapState._fields:
+            arr = np.load(io.BytesIO(zf.read(f"{k}.npy")))
+            fields[k] = arr
+    state = MapState(**fields)
+    return jax.tree.map(jnp.asarray, state)
+
+
+def map_summary(state: MapState) -> dict:
+    """Counts printed by the reference on save/load (`Map.cc:37,88`)."""
+    return {
+        "n_keyframes": int(jnp.sum(state.kf_valid)),
+        "n_points": int(jnp.sum(state.pt_valid)),
+        "n_observations": int(jnp.sum(state.pt_obs_kf >= 0)),
+        "max_kf_slot": int(state.n_kf),
+        "max_pt_slot": int(state.n_pt),
+    }

@@ -1,0 +1,294 @@
+"""Projection- and BoW-guided descriptor matching over whole frames.
+
+TPU-native rebuild of `ORBmatcher`'s search family (SURVEY.md §2.1): instead
+of per-feature grid walks (`Frame::GetFeaturesInArea`, `src/Frame.cc:445-498`)
+each search builds a dense (candidates x features) mask — window radius,
+octave range, rotation bins — over the full Hamming distance matrix computed
+on the MXU (`ops/hamming.py`). Conflict resolution (several candidates
+claiming one feature) keeps the smallest distance, matching the last-writer
+overwrite semantics of the reference loops in expectation.
+
+Implemented searches:
+- `search_by_projection_points`: the local-map overload
+  (`ORBmatcher::SearchByProjection`, `src/ORBmatcher.cc:45-129`) including
+  `Frame::isInFrustum` gating (`src/Frame.cc:387-443`), viewing-cos radius
+  2.5/4.0 (`RadiusByViewingCos`, `src/ORBmatcher.cc:131-138`), predicted
+  scale from distance (`MapPoint::PredictScale`);
+- `search_by_projection_last`: the frame-to-frame overload
+  (`src/ORBmatcher.cc:1331-1473`) with per-octave windows and forward /
+  backward scale gating;
+- `search_for_initialization` (`src/ORBmatcher.cc:408-523`);
+- `search_by_descriptor`: plain best/second-best matching used as the
+  BoW-free core of `SearchByBoW` (node-aligned masking is added by the
+  vocabulary module).
+
+Thresholds: TH_HIGH=100, TH_LOW=50, nn-ratios per call site
+(SURVEY.md appendix A).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projection, se3
+from . import hamming
+
+_BIG = 1 << 20
+
+
+def predict_scale(dist: jax.Array, max_dist: jax.Array, scale_factor: float,
+                  n_levels: int) -> jax.Array:
+    """`MapPoint::PredictScale` parity: level = ceil(log(maxDist/dist)/log(s)),
+    clipped to [0, L-1]."""
+    ratio = max_dist / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor))
+    return jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+
+
+def frustum_check(cam: projection.Camera, pose_cw: jax.Array,
+                  pt_pos: jax.Array, pt_normal: jax.Array,
+                  pt_min_dist: jax.Array, pt_max_dist: jax.Array,
+                  bounds: jax.Array, view_cos_limit: float = 0.5):
+    """`Frame::isInFrustum` (`src/Frame.cc:387-443`) for a batch of points.
+
+    Returns (ok, uv (P,2), ur (P,), dist (P,), view_cos (P,)).
+    """
+    p_cam = se3.transform_points(pose_cw, pt_pos)
+    z = p_cam[..., 2]
+    uvr, _ = projection.project_stereo(cam, p_cam)
+    uv, ur = uvr[..., :2], uvr[..., 2]
+    Twc = se3.se3_inv(pose_cw)
+    center = Twc[..., :3, 3]
+    po = pt_pos - center
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * pt_normal, -1) / jnp.maximum(dist, 1e-9)
+    ok = (
+        (z > 0)
+        & (uv[..., 0] >= bounds[0]) & (uv[..., 0] < bounds[1])
+        & (uv[..., 1] >= bounds[2]) & (uv[..., 1] < bounds[3])
+        & (dist >= pt_min_dist) & (dist <= pt_max_dist)
+        & (view_cos > view_cos_limit)
+    )
+    return ok, uv, ur, dist, view_cos
+
+
+def _resolve_conflicts(best_feat: jax.Array, best_dist: jax.Array,
+                       ok: jax.Array, n_features: int):
+    """Per-feature winner among candidate rows: returns (N,) candidate index
+    or -1. Ties by distance then by candidate order."""
+    P = best_feat.shape[0]
+    safe_feat = jnp.where(ok, best_feat, n_features - 1)
+    # score = dist * P + candidate_idx for deterministic argmin (hamming
+    # distances are <= 256, so this fits int32 for P up to ~8M)
+    sentinel = jnp.iinfo(jnp.int32).max
+    score = jnp.where(
+        ok, best_dist.astype(jnp.int32) * P + jnp.arange(P, dtype=jnp.int32),
+        sentinel,
+    )
+    feat_best = jnp.full((n_features,), sentinel, jnp.int32).at[safe_feat].min(score)
+    winner = (feat_best[safe_feat] == score) & ok
+    matched_pt_per_feat = jnp.full((n_features,), -1, jnp.int32).at[safe_feat].max(
+        jnp.where(winner, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    return matched_pt_per_feat
+
+
+def search_by_projection_points(
+    cam: projection.Camera,
+    pose_cw: jax.Array,
+    # frame features
+    kp_xy: jax.Array, kp_octave: jax.Array, kp_desc_bits: jax.Array,
+    kp_valid: jax.Array, kp_matched: jax.Array,
+    # candidate points (already gathered to a local window)
+    pt_pos: jax.Array, pt_normal: jax.Array, pt_min_dist: jax.Array,
+    pt_max_dist: jax.Array, pt_desc_bits: jax.Array, pt_valid: jax.Array,
+    bounds: jax.Array, scale_factors: jax.Array,
+    th: float = 1.0, nn_ratio: float = 0.8,
+    n_levels: int = 4, scale_factor: float = 1.5,
+):
+    """Local-map search. Returns (matches (N,) i32 candidate-row or -1,
+    n_matches, visible_mask (P,)).
+
+    kp_matched: features that already hold a map point are skipped
+    (`src/ORBmatcher.cc:61` pMP->mbTrackInView=false path and the
+    bestDist<=TH_HIGH assignment loop skipping matched features).
+    """
+    N = kp_xy.shape[0]
+    ok, uv, _, dist, view_cos = frustum_check(
+        cam, pose_cw, pt_pos, pt_normal, pt_min_dist, pt_max_dist, bounds
+    )
+    ok = ok & pt_valid
+    lvl = predict_scale(dist, pt_max_dist, scale_factor, n_levels)
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = th * r * scale_factors[lvl]  # ORBmatcher.cc:84-90
+    # window + octave mask (P,N)
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, -1)
+    in_win = d2 <= (radius[:, None] ** 2)
+    oct_ok = (kp_octave[None, :] >= (lvl - 1)[:, None]) & (
+        kp_octave[None, :] <= lvl[:, None]
+    )
+    mask = in_win & oct_ok & kp_valid[None, :] & ok[:, None] & (~kp_matched)[None, :]
+    dmat = hamming.hamming_matrix_bits(pt_desc_bits, kp_desc_bits)
+    idx, best, second = hamming.masked_best2(dmat, extra_mask=mask)
+    # best level vs second level ratio rule (ORBmatcher.cc:109-116):
+    # apply ratio only if bestLevel == bestLevel2 — approximated by always
+    # applying the ratio (stricter, documented deviation).
+    good = ok & (best <= hamming.TH_HIGH) & (
+        best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+    )
+    matches = _resolve_conflicts(idx, best, good, N)
+    return matches, jnp.sum((matches >= 0).astype(jnp.int32)), ok
+
+
+def search_by_projection_last(
+    cam: projection.Camera,
+    pose_cw: jax.Array,
+    kp_xy: jax.Array, kp_octave: jax.Array, kp_angle: jax.Array,
+    kp_desc_bits: jax.Array, kp_valid: jax.Array,
+    # last-frame features with 3D points
+    last_pt_pos: jax.Array, last_octave: jax.Array, last_angle: jax.Array,
+    last_desc_bits: jax.Array, last_valid: jax.Array,
+    bounds: jax.Array, scale_factors: jax.Array, th: float = 15.0,
+    check_rotation: bool = True,
+):
+    """Frame-to-frame search (`src/ORBmatcher.cc:1331-1473`).
+
+    Candidate rows are last-frame features carrying a 3D point. Window radius
+    = th * scale_factor[last octave]; candidate octaves in [oct-1, oct+1]
+    (the mono branch of the reference; forward/backward gating is a stereo
+    refinement folded into this range). Returns (matches (N,), n).
+    """
+    N = kp_xy.shape[0]
+    p_cam = se3.transform_points(pose_cw, last_pt_pos)
+    uv, z = projection.project(cam, p_cam)
+    ok = (
+        last_valid & (z > 0)
+        & (uv[..., 0] >= bounds[0]) & (uv[..., 0] < bounds[1])
+        & (uv[..., 1] >= bounds[2]) & (uv[..., 1] < bounds[3])
+    )
+    radius = th * scale_factors[jnp.clip(last_octave, 0)]
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, -1)
+    in_win = d2 <= (radius[:, None] ** 2)
+    oct_ok = (kp_octave[None, :] >= (last_octave - 1)[:, None]) & (
+        kp_octave[None, :] <= (last_octave + 1)[:, None]
+    )
+    mask = in_win & oct_ok & kp_valid[None, :] & ok[:, None]
+    dmat = hamming.hamming_matrix_bits(last_desc_bits, kp_desc_bits)
+    idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
+    good = ok & (best <= hamming.TH_HIGH)
+    if check_rotation:
+        rot_ok = hamming.rotation_consistency_mask(
+            last_angle, kp_angle[jnp.clip(idx, 0)], good
+        )
+        good = good & rot_ok
+    matches = _resolve_conflicts(idx, best, good, N)
+    return matches, jnp.sum((matches >= 0).astype(jnp.int32))
+
+
+def search_for_initialization(
+    kp_xy_1: jax.Array, kp_angle_1: jax.Array, desc_bits_1: jax.Array,
+    valid_1: jax.Array,
+    kp_xy_2: jax.Array, kp_angle_2: jax.Array, desc_bits_2: jax.Array,
+    valid_2: jax.Array,
+    window: float = 100.0, nn_ratio: float = 0.9, check_rotation: bool = True,
+):
+    """`ORBmatcher::SearchForInitialization` (`src/ORBmatcher.cc:408-523`):
+    match frame-1 level-0 features to frame-2 within a window, ratio test,
+    rotation consistency. Caller pre-masks to octave 0 via valid_*.
+    Returns (matches12 (N1,) i32, n)."""
+    d2 = jnp.sum((kp_xy_1[:, None, :] - kp_xy_2[None, :, :]) ** 2, -1)
+    mask = (d2 <= window * window) & valid_1[:, None] & valid_2[None, :]
+    dmat = hamming.hamming_matrix_bits(desc_bits_1, desc_bits_2)
+    idx, best, second = hamming.masked_best2(dmat, extra_mask=mask)
+    good = valid_1 & (best <= hamming.TH_LOW) & (
+        best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32)
+    )
+    if check_rotation:
+        good = good & hamming.rotation_consistency_mask(
+            kp_angle_1, kp_angle_2[jnp.clip(idx, 0)], good
+        )
+    # enforce one-to-one via conflict resolution on frame-2 features
+    n2 = kp_xy_2.shape[0]
+    winner_row = _resolve_conflicts(idx, best, good, n2)
+    owner = winner_row[jnp.clip(idx, 0)]
+    good = good & (owner == jnp.arange(kp_xy_1.shape[0]))
+    matches = jnp.where(good, idx, -1)
+    return matches, jnp.sum(good.astype(jnp.int32))
+
+
+def search_for_triangulation(
+    kp1_xy: jax.Array, kp1_octave: jax.Array, desc_bits_1: jax.Array,
+    valid_1: jax.Array,
+    kp2_xy: jax.Array, kp2_octave: jax.Array, desc_bits_2: jax.Array,
+    valid_2: jax.Array,
+    F12: jax.Array, epipole2: jax.Array, level_sigma2: jax.Array,
+    check_epipole_dist: bool = True,
+    angle_1: jax.Array | None = None, angle_2: jax.Array | None = None,
+):
+    """Epipolar-constrained matching for new-point triangulation
+    (`ORBmatcher::SearchForTriangulation`, `src/ORBmatcher.cc:660-826`).
+
+    F12: fundamental matrix kp1^T F12 kp2 = 0 (`ComputeF12`,
+    `src/LocalMapping.cc:536-553`). Gates: Hamming < TH_LOW, epipolar line
+    distance chi2 < 3.84*sigma2(octave2) (`CheckDistEpipolarLine`,
+    `src/ORBmatcher.cc:140-157`), candidates not too close to the epipole
+    in image 2 (`:745-750`), rotation consistency. Returns (matches (N1,), n).
+    """
+    dmat = hamming.hamming_matrix_bits(desc_bits_1, desc_bits_2)
+    mask = valid_1[:, None] & valid_2[None, :]
+    # epipole proximity: skip kp2 within 100*scale^2 px^2 of the epipole
+    if check_epipole_dist:
+        de2 = jnp.sum((kp2_xy - epipole2[None, :]) ** 2, -1)
+        sf2 = level_sigma2[jnp.clip(kp2_octave, 0, level_sigma2.shape[0] - 1)]
+        mask = mask & (de2 >= 100.0 * sf2)[None, :]
+    # epipolar line of kp1 in image 2: l = F12^T x1
+    x1h = jnp.concatenate([kp1_xy, jnp.ones_like(kp1_xy[..., :1])], -1)
+    lines = x1h @ F12  # (N1,3): a,b,c
+    a, b, c = lines[..., 0:1], lines[..., 1:2], lines[..., 2:3]
+    num = a * kp2_xy[None, :, :][..., 0] + b * kp2_xy[None, :, :][..., 1] + c
+    den = a * a + b * b
+    dsqr = num * num / jnp.maximum(den, 1e-12)
+    sig2 = level_sigma2[jnp.clip(kp2_octave, 0, level_sigma2.shape[0] - 1)]
+    mask = mask & (dsqr < 3.84 * sig2[None, :])
+    idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
+    good = valid_1 & (best < hamming.TH_LOW)
+    if angle_1 is not None and angle_2 is not None:
+        good = good & hamming.rotation_consistency_mask(
+            angle_1, angle_2[jnp.clip(idx, 0)], good
+        )
+    n2 = kp2_xy.shape[0]
+    winner = _resolve_conflicts(idx, best, good, n2)
+    owner = winner[jnp.clip(idx, 0)]
+    good = good & (owner == jnp.arange(kp1_xy.shape[0]))
+    return jnp.where(good, idx, -1), jnp.sum(good.astype(jnp.int32))
+
+
+def search_by_descriptor(desc_bits_1: jax.Array, valid_1: jax.Array,
+                         desc_bits_2: jax.Array, valid_2: jax.Array,
+                         angle_1: jax.Array | None = None,
+                         angle_2: jax.Array | None = None,
+                         th: int = hamming.TH_LOW, nn_ratio: float = 0.7,
+                         check_rotation: bool = True,
+                         node_1: jax.Array | None = None,
+                         node_2: jax.Array | None = None):
+    """Best/second matching with optional BoW-node alignment
+    (`ORBmatcher::SearchByBoW`, `src/ORBmatcher.cc:159-291`: only features in
+    the same vocabulary node are compared — pass node ids to reproduce)."""
+    dmat = hamming.hamming_matrix_bits(desc_bits_1, desc_bits_2)
+    mask = valid_1[:, None] & valid_2[None, :]
+    if node_1 is not None and node_2 is not None:
+        mask = mask & (node_1[:, None] == node_2[None, :])
+    idx, best, second = hamming.masked_best2(dmat, extra_mask=mask)
+    good = valid_1 & (best <= th) & (
+        best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32)
+    )
+    if check_rotation and angle_1 is not None:
+        good = good & hamming.rotation_consistency_mask(
+            angle_1, angle_2[jnp.clip(idx, 0)], good
+        )
+    n2 = desc_bits_2.shape[0]
+    winner_row = _resolve_conflicts(idx, best, good, n2)
+    owner = winner_row[jnp.clip(idx, 0)]
+    good = good & (owner == jnp.arange(desc_bits_1.shape[0]))
+    return jnp.where(good, idx, -1), jnp.sum(good.astype(jnp.int32))

@@ -1,0 +1,134 @@
+"""Sim3 pose-graph (essential graph) optimization for loop correction.
+
+`Optimizer::OptimizeEssentialGraph` parity (`src/Optimizer.cc:781-1062`,
+SURVEY.md §2.1): vertices are per-keyframe Sim3 world->camera transforms
+(scale 1 except loop-corrected KFs); edges are (a) the new loop links,
+(b) spanning-tree edges, (c) previous loop edges, (d) covisibility edges
+with weight >= 100 (`:806`); the loop KF is held fixed; 20 LM iterations
+(`:1003`); afterwards poses are recovered as SE3 with translation/scale
+(`:1012-1027`) and map points corrected through their reference KF
+(`:1031-1060`).
+
+TPU design: edges carry a measured relative Sim3; residual r =
+sim3_log(S_meas * exp(xi_i) S_i * (exp(xi_j) S_j)^-1) linearized by forward-
+mode autodiff at xi=0 (batched over all edges), normal equations assembled
+densely over (K,7) variables and solved with Cholesky — the essential graph
+of a few hundred KFs fits comfortably as a dense MXU problem.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from . import lm as lm_mod
+
+
+class PoseGraphProblem(NamedTuple):
+    S_init: jax.Array  # (K,4,4) initial Sim3 (sR|t) world->camera
+    fixed: jax.Array  # (K,) bool
+    valid: jax.Array  # (K,) bool
+    edge_i: jax.Array  # (E,) i32
+    edge_j: jax.Array  # (E,) i32
+    edge_meas: jax.Array  # (E,4,4) measured S_ij = S_i S_j^-1
+    edge_valid: jax.Array  # (E,)
+    edge_weight: jax.Array  # (E,) information scale (1.0 default)
+
+
+def _edge_residual(S_i, S_j, S_meas, xi_i, xi_j):
+    Si = se3.sim3_exp(xi_i) @ S_i
+    Sj = se3.sim3_exp(xi_j) @ S_j
+    rel = Si @ se3.sim3_inv(Sj)
+    return se3.sim3_log(S_meas @ se3.sim3_inv(rel))
+
+
+def _linearize(S, prob: PoseGraphProblem):
+    """Residuals (E,7) and Jacobians (E,7,7)x2 at xi=0 for all edges."""
+    Si = S[prob.edge_i]
+    Sj = S[prob.edge_j]
+    z7 = jnp.zeros(7, S.dtype)
+
+    def res_fn(xi_i, xi_j, a, b, m):
+        return _edge_residual(a, b, m, xi_i, xi_j)
+
+    r = jax.vmap(lambda a, b, m: res_fn(z7, z7, a, b, m))(Si, Sj, prob.edge_meas)
+    Ji = jax.vmap(
+        lambda a, b, m: jax.jacfwd(lambda x: res_fn(x, z7, a, b, m))(z7)
+    )(Si, Sj, prob.edge_meas)
+    Jj = jax.vmap(
+        lambda a, b, m: jax.jacfwd(lambda x: res_fn(z7, x, a, b, m))(z7)
+    )(Si, Sj, prob.edge_meas)
+    return r, Ji, Jj
+
+
+def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20):
+    """Run damped Gauss-Newton over the pose graph. Returns (S_opt (K,4,4),
+    final chi2)."""
+    K = prob.S_init.shape[0]
+    free = prob.valid & ~prob.fixed
+
+    def chi2_of(S):
+        r, _, _ = _linearize(S, prob)
+        return jnp.sum(
+            jnp.where(prob.edge_valid, prob.edge_weight * jnp.sum(r * r, -1), 0.0)
+        )
+
+    def step(S, lam):
+        r, Ji, Jj = _linearize(S, prob)
+        w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
+        # assemble dense H (K*7, K*7) and g (K*7)
+        Hii = jnp.einsum("eri,e,erj->eij", Ji, w, Ji, precision=lm_mod.HI)
+        Hjj = jnp.einsum("eri,e,erj->eij", Jj, w, Jj, precision=lm_mod.HI)
+        Hij = jnp.einsum("eri,e,erj->eij", Ji, w, Jj, precision=lm_mod.HI)
+        gi = -jnp.einsum("eri,e,er->ei", Ji, w, r, precision=lm_mod.HI)
+        gj = -jnp.einsum("eri,e,er->ei", Jj, w, r, precision=lm_mod.HI)
+        H = jnp.zeros((K, K, 7, 7), S.dtype)
+        H = H.at[prob.edge_i, prob.edge_i].add(Hii)
+        H = H.at[prob.edge_j, prob.edge_j].add(Hjj)
+        H = H.at[prob.edge_i, prob.edge_j].add(Hij)
+        H = H.at[prob.edge_j, prob.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((K, 7), S.dtype)
+        g = g.at[prob.edge_i].add(gi)
+        g = g.at[prob.edge_j].add(gj)
+        Hf = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+        mask = jnp.repeat(free, 7)
+        Hf = jnp.where(mask[:, None] & mask[None, :], Hf, 0.0)
+        Hf = Hf + jnp.diag(jnp.where(mask, lam, 1.0))
+        gf = jnp.where(mask, g.reshape(-1), 0.0)
+        dx = jnp.linalg.solve(Hf, gf).reshape(K, 7)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dx = jnp.where(free[:, None], dx, 0.0)
+        return se3.sim3_exp(dx) @ S
+
+    def body(carry, _):
+        S, lam = carry
+        cur = chi2_of(S)
+        S_new = step(S, lam)
+        new = chi2_of(S_new)
+        accept = new < cur
+        S = jnp.where(accept, S_new, S)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-8, 1e8)
+        return (S, lam), new
+
+    (S, _), hist = jax.lax.scan(
+        body, (prob.S_init, jnp.asarray(1e-6, prob.S_init.dtype)), None,
+        length=n_iters,
+    )
+    return S, chi2_of(S)
+
+
+def sim3_to_se3(S: jax.Array) -> jax.Array:
+    """Recover SE3 poses: Tiw = [R | t/s] (`src/Optimizer.cc:1012-1027`)."""
+    s, R, t = se3.sim3_split(S)
+    return se3.rt_to_mat(R, t / s[..., None])
+
+
+def correct_points(pt_pos: jax.Array, S_old_ref: jax.Array,
+                   S_new_ref: jax.Array) -> jax.Array:
+    """Move points with their reference KF's Sim3 correction
+    (`src/Optimizer.cc:1031-1060`): X' = S_new^-1 ( S_old X )."""
+    p_cam = se3.sim3_transform_points(S_old_ref, pt_pos)
+    return se3.sim3_transform_points(se3.sim3_inv(S_new_ref), p_cam)

@@ -1,0 +1,309 @@
+"""Local mapping: keyframe processing, point culling, local BA, KF culling.
+
+`LocalMapping` thread parity (`src/LocalMapping.cc`, SURVEY.md §3.3) as pure
+device steps driven by the host orchestrator. The thread's mailbox +
+usleep(3000) poll (`src/LocalMapping.cc:47-126`) becomes a host-side queue of
+new keyframe slots; BA abort (`mbAbortBA`) becomes the abort flag threaded
+into the jitted BA schedule.
+
+Implemented stages:
+- `recent_point_culling` — `LocalMapping::MapPointCulling`
+  (`src/LocalMapping.cc:170-205`): found/visible ratio < 0.25, or too few
+  observations within 2 KFs of creation;
+- `build_local_ba_problem` + `apply_ba_result` — window construction parity
+  with `Optimizer::LocalBundleAdjustment` (`src/Optimizer.cc:456-504`):
+  local cams = current KF + covisibles, fixed cams = other observers of
+  local points; outlier observations erased on writeback
+  (`src/Optimizer.cc:717-779`);
+- `keyframe_culling` — `LocalMapping::KeyFrameCulling`
+  (`src/LocalMapping.cc:632-698`): a local KF is erased when >=90% of its
+  points are seen by >=3 other KFs at the same or finer scale.
+
+(Triangulation of new mono/stereo points — `CreateNewMapPoints`,
+`src/LocalMapping.cc:207-452` — lives in `pipeline/triangulation.py`.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projection
+from ..optim import local_ba
+from ..slammap import mapstate as ms
+
+C_CAP = 64  # max cameras in a local BA window (local + fixed)
+L_CAP = 4096  # max points in a local BA window
+
+
+@partial(jax.jit, static_argnums=(3,))
+def recent_point_culling(state: ms.MapState, recent_mask: jax.Array,
+                         current_kf: jax.Array, is_mono: bool = False) -> ms.MapState:
+    """Cull recently created points (`src/LocalMapping.cc:170-205`).
+
+    recent_mask: (P,) points created within the last 3 KFs (the host keeps
+    this window, mirroring mlpRecentAddedMapPoints).
+    """
+    ratio = state.pt_found.astype(jnp.float32) / jnp.maximum(
+        state.pt_visible.astype(jnp.float32), 1.0
+    )
+    obs = ms.point_obs_count(state)
+    th_obs = 2 if is_mono else 3
+    first = state.pt_first_kf
+    age = current_kf - first  # in KF slots — monotone allocation makes this
+    # equivalent to the reference's KF-id arithmetic
+    bad = recent_mask & state.pt_valid & (
+        (ratio < 0.25)
+        | ((age >= 2) & (obs <= th_obs))
+    )
+    return ms.erase_points(state, bad)
+
+
+def build_local_ba_problem(state: ms.MapState, kf_slot,
+                           cam: projection.Camera,
+                           inv_level_sigma2: jax.Array):
+    """Gather the covisibility window into a fixed-shape BAProblem.
+
+    Window selection parity with `src/Optimizer.cc:456-504`:
+    - local (free) cams: kf_slot + all covisible KFs (weight > 0), capped;
+    - local points: points observed by local cams;
+    - fixed cams: any other KF observing a local point; slot 0 is always
+      fixed if present (the reference fixes KF id 0, `Optimizer.cc:510-512`).
+    """
+    K = state.kf_capacity
+    ncap = min(C_CAP, K)
+
+    w = state.covis[kf_slot]
+    w = jnp.where(state.kf_valid, w, 0).at[kf_slot].set(0)
+    top_w, top_kf = jax.lax.top_k(w, ncap - 1)
+    local_kf = jnp.concatenate([jnp.asarray([kf_slot], jnp.int32),
+                                top_kf.astype(jnp.int32)])
+    local_ok = jnp.concatenate([jnp.asarray([True]), top_w > 0])
+
+    # local point set: flags over P
+    pts_of = jnp.where(local_ok[:, None], state.kf_kp_point[local_kf], -1)
+    flat = pts_of.reshape(-1)
+    pt_flag = jnp.zeros(state.pt_capacity, jnp.int8).at[jnp.clip(flat, 0)].max(
+        jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0))
+    )
+    pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
+    _, lidx = jax.lax.top_k(pt_flag.astype(jnp.int32), L_CAP)
+    l_ok = pt_flag[lidx] > 0
+    lidx = jnp.where(l_ok, lidx.astype(jnp.int32), -1)
+
+    # cameras observing local points: local ∪ fixed
+    obs_kf = state.pt_obs_kf[jnp.clip(lidx, 0)]  # (L,O)
+    obs_ok = l_ok[:, None] & (obs_kf >= 0)
+    in_local = jnp.zeros(K, bool).at[jnp.where(local_ok, local_kf, K - 1)].set(
+        local_ok, mode="drop"
+    )
+    fixed_flag = jnp.zeros(K, jnp.int8).at[
+        jnp.where(obs_ok, obs_kf, K - 1).reshape(-1)
+    ].max(jnp.where(obs_ok, jnp.int8(1), jnp.int8(0)).reshape(-1), mode="drop")
+    fixed_flag = jnp.where(in_local | ~state.kf_valid, 0, fixed_flag)
+    n_local = jnp.sum(local_ok.astype(jnp.int32))
+    n_fixed_cap = ncap  # fixed cams share the capacity after locals
+    _, fidx = jax.lax.top_k(fixed_flag.astype(jnp.int32), n_fixed_cap)
+    f_ok = fixed_flag[fidx] > 0
+
+    # assemble camera table: locals first, then fixed
+    cam_slots = jnp.concatenate([jnp.where(local_ok, local_kf, -1),
+                                 jnp.where(f_ok, fidx.astype(jnp.int32), -1)])
+    cam_is_fixed = jnp.concatenate([
+        jnp.zeros(ncap, bool), jnp.ones(n_fixed_cap, bool)
+    ])
+    # always fix slot 0 (gauge) when it is among the locals
+    cam_is_fixed = cam_is_fixed | (cam_slots == 0)
+    cam_ok = cam_slots >= 0
+    C = cam_slots.shape[0]
+
+    # slot -> local cam index lookup
+    slot2cam = jnp.full(K, -1, jnp.int32).at[
+        jnp.where(cam_ok, cam_slots, K - 1)
+    ].set(jnp.where(cam_ok, jnp.arange(C, dtype=jnp.int32), -1), mode="drop")
+
+    # observation table: map pt_obs_kf to local cam idx; fetch uv/ur/sigma
+    o_kf = state.pt_obs_kf[jnp.clip(lidx, 0)]
+    o_ix = state.pt_obs_idx[jnp.clip(lidx, 0)]
+    o_ok = l_ok[:, None] & (o_kf >= 0)
+    o_cam = jnp.where(o_ok, slot2cam[jnp.clip(o_kf, 0)], -1)
+    o_ok = o_ok & (o_cam >= 0)
+    uv = state.kf_kp_xy[jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)]
+    ur = state.kf_kp_ur[jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)]
+    octv = state.kf_kp_octave[jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)]
+    is2 = inv_level_sigma2[jnp.clip(octv, 0, inv_level_sigma2.shape[0] - 1)]
+
+    prob = local_ba.BAProblem(
+        cam_pose=state.kf_pose[jnp.clip(cam_slots, 0)],
+        cam_fixed=cam_is_fixed,
+        cam_valid=cam_ok,
+        pt_pos=state.pt_pos[jnp.clip(lidx, 0)],
+        pt_valid=l_ok,
+        obs_cam=o_cam,
+        obs_uv=uv,
+        obs_ur=ur,
+        obs_inv_sigma2=is2,
+        obs_valid=o_ok,
+    )
+    del n_local
+    return prob, cam_slots, lidx
+
+
+def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
+                    cam_slots: jax.Array, lidx: jax.Array,
+                    prob: local_ba.BAProblem) -> ms.MapState:
+    """Write back optimized poses/points; erase outlier observations
+    (`src/Optimizer.cc:717-779`)."""
+    K = state.kf_capacity
+    cam_ok = (cam_slots >= 0) & ~prob.cam_fixed
+    safe_cam = jnp.where(cam_ok, cam_slots, K - 1)
+    kf_pose = state.kf_pose.at[safe_cam].set(
+        jnp.where(cam_ok[:, None, None], res.cam_pose, state.kf_pose[safe_cam])
+    )
+    l_ok = lidx >= 0
+    safe_l = jnp.where(l_ok, lidx, state.pt_capacity - 1)
+    pt_pos = state.pt_pos.at[safe_l].set(
+        jnp.where(l_ok[:, None], res.pt_pos, state.pt_pos[safe_l])
+    )
+    state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
+    # erase outlier observations: forward pointers -> -1
+    out = prob.obs_valid & ~res.obs_inlier  # (L,O)
+    o_kf = state.pt_obs_kf[safe_l]
+    o_ix = state.pt_obs_idx[safe_l]
+    out = out & (o_kf >= 0) & l_ok[:, None]
+    fwd = state.kf_kp_point.at[
+        jnp.where(out, o_kf, K - 1), jnp.clip(o_ix, 0)
+    ].set(jnp.where(out, -1, state.kf_kp_point[jnp.where(out, o_kf, K - 1),
+                                               jnp.clip(o_ix, 0)]), mode="drop")
+    state = state._replace(kf_kp_point=fwd)
+    return ms.rebuild_observations(state)
+
+
+@jax.jit
+def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
+    """Cull redundant covisible KFs of kf_slot (`src/LocalMapping.cc:632-698`).
+
+    For each covisible KF: redundant if > 90% of its observed points are
+    seen by >= 3 OTHER KFs at the same or finer octave. Culled KFs keep
+    their slot (kf_valid=False); children re-parent to the culled KF's
+    parent (flat re-parenting — the reference's best-covisible reassignment
+    `src/KeyFrame.cc:1202-1274` is approximated by parent hoisting).
+    """
+    K, N = state.kf_kp_point.shape
+    targets = state.covis[kf_slot] > 0  # candidate local KFs
+    targets = targets & state.kf_valid & (jnp.arange(K) != 0)
+
+    pts = state.kf_kp_point  # (K,N)
+    ok = pts >= 0
+    safe_pt = jnp.clip(pts, 0)
+    my_oct = state.kf_kp_octave  # (K,N)
+    # for each observation of each KF's point: octaves of other observers
+    obs_kf = state.pt_obs_kf[safe_pt]  # (K,N,O)
+    obs_ix = state.pt_obs_idx[safe_pt]
+    obs_ok = ok[..., None] & (obs_kf >= 0)
+    other = obs_ok & (obs_kf != jnp.arange(K)[:, None, None])
+    o_oct = state.kf_kp_octave[jnp.clip(obs_kf, 0), jnp.clip(obs_ix, 0)]
+    finer = other & (o_oct <= my_oct[..., None] + 1)  # scale condition
+    n_better = jnp.sum(finer.astype(jnp.int32), -1)  # (K,N)
+    redundant_pt = ok & (n_better >= 3)
+    n_pts = jnp.sum(ok.astype(jnp.int32), -1)
+    n_red = jnp.sum(redundant_pt.astype(jnp.int32), -1)
+    cull = targets & (n_pts > 0) & (
+        n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32)
+    )
+    # re-parent children of culled KFs
+    parent = state.kf_parent
+    pp = jnp.where(parent >= 0, parent, 0)
+    parent_is_culled = (parent >= 0) & cull[pp]
+    new_parent = jnp.where(parent_is_culled, state.kf_parent[pp], parent)
+    # remove culled KFs' observations from points
+    fwd = jnp.where(cull[:, None], -1, state.kf_kp_point)
+    state = state._replace(
+        kf_valid=state.kf_valid & ~cull,
+        kf_kp_point=fwd,
+        kf_parent=new_parent,
+        covis=jnp.where(cull[:, None] | cull[None, :], 0, state.covis),
+    )
+    return ms.rebuild_observations(state)
+
+
+class LocalMapper:
+    """Host driver for the mapping stage (the LocalMapping::Run loop body,
+    `src/LocalMapping.cc:47-112`, minus the thread)."""
+
+    def __init__(self, cam: projection.Camera, inv_level_sigma2,
+                 is_mono: bool = False, enable_culling: bool = True,
+                 enable_triangulation: bool = True,
+                 n_tri_neighbors: int | None = None,
+                 scale_factors=None, n_levels: int = 4,
+                 scale_factor: float = 1.5):
+        self.cam = cam
+        self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
+        self.is_mono = is_mono
+        self.enable_culling = enable_culling
+        self.enable_triangulation = enable_triangulation
+        # 10 stereo/RGB-D, 20 mono (LocalMapping.cc:210-212)
+        self.n_tri_neighbors = (
+            n_tri_neighbors if n_tri_neighbors is not None
+            else (20 if is_mono else 10)
+        )
+        self.recent_start: int | None = None  # first recent point slot
+        self.triangulate_pair = None
+        if enable_triangulation:
+            from . import triangulation as tri_mod
+
+            if scale_factors is None:
+                scale_factors = jnp.asarray(
+                    [scale_factor**i for i in range(n_levels)], jnp.float32
+                )
+            self.triangulate_pair = tri_mod.make_triangulator(
+                cam, jnp.asarray(scale_factors), 1.0 / self.inv_level_sigma2,
+                n_levels, scale_factor, is_mono,
+            )
+
+        @jax.jit
+        def _ba(state, kf_slot, abort):
+            prob, cam_slots, lidx = build_local_ba_problem(
+                state, kf_slot, cam, self.inv_level_sigma2
+            )
+            res = local_ba.local_bundle_adjustment(cam, prob, abort=abort)
+            return apply_ba_result(state, res, cam_slots, lidx, prob)
+
+        self._ba = _ba
+
+    def process(self, state: ms.MapState, kf_slot: int,
+                abort: bool = False) -> ms.MapState:
+        """One mapping iteration for a freshly inserted keyframe
+        (`LocalMapping::Run` body, `src/LocalMapping.cc:47-112`)."""
+        n_pt = int(state.n_pt)
+        if self.recent_start is None:
+            self.recent_start = 0
+        recent = (jnp.arange(state.pt_capacity) >= self.recent_start) & (
+            jnp.arange(state.pt_capacity) < n_pt
+        )
+        state = recent_point_culling(state, recent, jnp.asarray(kf_slot),
+                                     self.is_mono)
+        # CreateNewMapPoints over covisible neighbours (LocalMapping.cc:207)
+        if self.triangulate_pair is not None and int(state.n_pt) < state.pt_capacity - 2048:
+            neigh = ms.covisible_keyframes(
+                state, jnp.asarray(kf_slot), self.n_tri_neighbors
+            )
+            import numpy as _np
+
+            for nb in _np.asarray(neigh):
+                if nb < 0:
+                    break
+                state, n_new, pair_ok = self.triangulate_pair(
+                    state, jnp.asarray(kf_slot), jnp.asarray(int(nb))
+                )
+            state = ms.update_connections(state, jnp.asarray(kf_slot))
+        n_kf = int(jnp.sum(state.kf_valid))
+        if n_kf > 2:
+            state = self._ba(state, jnp.asarray(kf_slot), jnp.asarray(abort))
+            if self.enable_culling:
+                state = keyframe_culling(state, jnp.asarray(kf_slot))
+        # advance the recent window: points older than ~3 KFs leave
+        self.recent_start = n_pt
+        return state

@@ -1,0 +1,219 @@
+"""System facade — the public API mirroring the reference's `System` class.
+
+`System` parity (`src/System.cc:85-259`, `include/System.h:81-142`,
+SURVEY.md §3.1): constructs the vocabulary, map (fresh or loaded), tracking
+and mapping stages, routes frames by sensor type, handles mode switches,
+save/load and trajectory export. The reference's four std::threads
+(`System.cc:209-238`) become sequential stage calls per frame — tracking,
+then mapping for any queued keyframe, then loop closing — which preserves
+the algorithmic interleaving (mapping between frames) without shared-memory
+races (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import enum
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as config_mod
+from ..geometry import projection
+from ..io import trajectory as traj_io
+from ..ops import orb
+from ..slammap import mapstate as ms
+from . import frame as frame_mod
+from . import local_mapping, tracking
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class SLAMSystem:
+    """Facade; ctor signature mirrors `System::System`
+    (`include/System.h:81-84`) minus the GUI/App extras, which are separate
+    optional components (viz/, apps/)."""
+
+    def __init__(self, cfg: config_mod.SystemConfig, sensor: Sensor,
+                 vocabulary=None, reuse_map_path: str | None = None,
+                 enable_loop_closing: bool = True,
+                 enable_mapping: bool = True):
+        self.cfg = cfg
+        self.sensor = sensor
+        c = cfg.camera
+        self.cam = projection.Camera.create(
+            c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2, c.k3,
+            bf=c.bf, width=c.width, height=c.height,
+        )
+        self.spec = orb.ORBSpec.create(
+            c.height, c.width,
+            n_features=cfg.orb.n_features,
+            n_levels=cfg.orb.n_levels,
+            scale_factor=cfg.orb.scale_factor,
+            ini_th=cfg.orb.ini_th_fast,
+            min_th=cfg.orb.min_th_fast,
+            max_kp=cfg.max_keypoints,
+        )
+        self.builder = frame_mod.FrameBuilder(self.cam, self.spec)
+        if reuse_map_path:
+            from ..io import mapio
+
+            self.map = mapio.load_map(reuse_map_path)
+        else:
+            self.map = ms.empty_map(cfg.max_keyframes, cfg.max_points,
+                                    cfg.max_keypoints)
+        # thDepth in meters = bf/fx * ThDepth (Tracking.cc:227-232)
+        th_depth_m = float(c.bf) / float(c.fx) * float(c.th_depth)
+        is_mono = sensor == Sensor.MONOCULAR
+        tcfg = tracking.TrackerConfig(
+            max_frames=int(c.fps), th_depth=th_depth_m,
+            # local search th: 1 generic, 3 RGB-D (Tracking.cc:1445-1450)
+            local_th=1.0 if is_mono else 3.0,
+            is_mono=is_mono,
+        )
+        self.tracker = tracking.Tracker(
+            self.cam, self.builder, self.map, tcfg,
+            n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
+        )
+        self.mapper = (
+            local_mapping.LocalMapper(
+                self.cam, self.builder.inv_level_sigma2,
+                is_mono=is_mono,
+                scale_factors=self.builder.scale_factors,
+                n_levels=cfg.orb.n_levels,
+                scale_factor=cfg.orb.scale_factor,
+            )
+            if enable_mapping else None
+        )
+        self.loop_closer = None
+        if enable_loop_closing and vocabulary is not None:
+            from . import loop_closing
+
+            self.loop_closer = loop_closing.LoopCloser(
+                self.cam, self.builder.inv_level_sigma2, vocabulary,
+                fix_scale=(sensor != Sensor.MONOCULAR),
+            )
+        # relocalization (Tracking.cc:1601): BoW-backed when a vocabulary
+        # exists, brute-force fallback otherwise
+        from . import relocalization
+
+        self.tracker.relocalizer = relocalization.Relocalizer(
+            self.cam, self.builder.inv_level_sigma2, vocabulary,
+            bow_store_ref=(
+                (lambda: self.loop_closer.bow_store)
+                if self.loop_closer is not None else None
+            ),
+        )
+        self.localization_only = False  # ActivateLocalizationMode analogue
+        self._shutdown = False
+
+    # ------ frame entry points (System.cc:261-490) ------
+    def track_rgbd(self, image, depth, timestamp: float):
+        assert self.sensor == Sensor.RGBD
+        pose = self.tracker.track_rgbd(image, depth, timestamp)
+        self._run_backends()
+        return pose
+
+    def track_monocular(self, image, timestamp: float):
+        assert self.sensor == Sensor.MONOCULAR
+        pose = self.tracker.track_monocular(image, timestamp)
+        self._run_backends()
+        return pose
+
+    def track_stereo(self, image_left, image_right, timestamp: float):
+        assert self.sensor == Sensor.STEREO
+        pose = self.tracker.track_stereo(image_left, image_right, timestamp)
+        self._run_backends()
+        return pose
+
+    def _run_backends(self):
+        """Drain the new-keyframe queue through mapping + loop closing (the
+        LocalMapping / LoopClosing thread loop bodies)."""
+        self.map = self.tracker.map
+        if self.localization_only or self.mapper is None:
+            self.tracker.new_kf_slots.clear()
+            return
+        while self.tracker.new_kf_slots:
+            kf = self.tracker.new_kf_slots.pop(0)
+            # a newer queued KF aborts the current BA (mbAbortBA semantics)
+            abort = len(self.tracker.new_kf_slots) > 0
+            self.map = self.mapper.process(self.map, kf, abort=abort)
+            if self.loop_closer is not None:
+                self.map = self.loop_closer.process(self.map, kf)
+        self.tracker.map = self.map
+
+    # ------ mode switches (System.cc:433-456,492-533) ------
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """`System::Reset` / `Tracking::Reset` (`src/Tracking.cc:1777-1819`)."""
+        cfg = self.cfg
+        self.map = ms.empty_map(cfg.max_keyframes, cfg.max_points,
+                                cfg.max_keypoints)
+        self.tracker.map = self.map
+        self.tracker.state = tracking.NO_IMAGES_YET
+        self.tracker.velocity = None
+        self.tracker.last_pose = None
+        self.tracker.trajectory.clear()
+        self.tracker.new_kf_slots.clear()
+
+    def shutdown(self):
+        self._shutdown = True
+
+    # ------ persistence (System.cc:552-574) ------
+    def save_map(self, path: str | Path = "Slam_latest_Map.bin"):
+        from ..io import mapio
+
+        mapio.save_map(path, self.map)
+
+    def load_map(self, path: str | Path):
+        from ..io import mapio
+
+        self.map = mapio.load_map(path)
+        self.tracker.map = self.map
+        # reuse mode starts LOST in localization (System.cc:90, Tracking.cc:167-171)
+        self.tracker.state = tracking.LOST
+        self.localization_only = True
+
+    # ------ trajectory export (System.cc:675-836) ------
+    def save_camera_trajectory(self, path: str | Path):
+        tr = self.tracker.trajectory
+        traj_io.save_camera_trajectory(
+            path,
+            [t for t, _, _ in tr],
+            [p for _, p, _ in tr],
+            lost=[l for _, _, l in tr],
+        )
+
+    def save_keyframe_trajectory(self, path: str | Path):
+        valid = np.asarray(self.map.kf_valid)
+        ts = np.asarray(self.map.kf_timestamp)[valid]
+        poses = np.asarray(self.map.kf_pose)[valid]
+        traj_io.save_keyframe_trajectory(path, ts, poses)
+
+    def save_localization_trajectory(self, path: str | Path):
+        tr = self.tracker.trajectory
+        traj_io.save_matrix_trajectory(
+            path, [p for _, p, l in tr if not l]
+        )
+
+    # ------ introspection (System.h:144-160 analogues) ------
+    @property
+    def n_keyframes(self) -> int:
+        return int(jnp.sum(self.map.kf_valid))
+
+    @property
+    def n_points(self) -> int:
+        return int(jnp.sum(self.map.pt_valid))
+
+    @property
+    def tracking_state(self) -> int:
+        return self.tracker.state

@@ -1,0 +1,617 @@
+"""Per-frame tracking: the reference's `Tracking` thread as pure device steps
+plus a thin host state machine.
+
+`Tracking` parity (`src/Tracking.cc`, SURVEY.md §3.2): states
+{NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST} (`include/Tracking.h:85-91`),
+per-frame flow Track() (`src/Tracking.cc:541-741`):
+
+  frame build -> (init | motion-model track | refKF track | reloc)
+              -> local-map track -> velocity update -> keyframe decision
+
+Each stage is a jitted function over fixed-capacity arrays; the host only
+branches on scalar outcomes (match counts), mirroring the reference's
+control flow with the numeric gates of SURVEY.md appendix A.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import projection, se3
+from ..ops import hamming, matching
+from ..ops import initializer as initializer_mod
+from ..optim import pose_opt
+from ..slammap import mapstate as ms
+from . import frame as frame_mod
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+LOCAL_KFS = 80  # Tracking.cc:1545
+LOCAL_PTS = 4096  # static cap for the gathered local point set
+
+
+class TrackOutcome(NamedTuple):
+    pose_cw: jax.Array
+    matched_pt: jax.Array  # (N,) map-point slot per feature or -1
+    n_matches: jax.Array
+    n_inliers: jax.Array
+
+
+def _desc_bits_of_points(state: ms.MapState, idx: jax.Array) -> jax.Array:
+    return hamming.unpack_bits(state.pt_desc[jnp.clip(idx, 0)])
+
+
+def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilder,
+                          n_levels: int, scale_factor: float):
+    """Build the jitted step functions for a fixed geometry/config."""
+    scale_factors = builder.scale_factors
+    bounds = builder.bounds
+
+    @jax.jit
+    def init_rgbd(state: ms.MapState, frame: frame_mod.FrameData, frame_id):
+        """`Tracking::StereoInitialization` (`src/Tracking.cc:750-802`):
+        first KF at the origin; every feature with depth becomes a point."""
+        pose = jnp.eye(4, dtype=jnp.float32)
+        state, kf = ms.add_keyframe(
+            state, pose, frame.timestamp, frame_id,
+            frame.kp_xy, frame.kp_ur, frame.kp_depth, frame.kp_octave,
+            frame.kp_angle, frame.valid, frame.desc,
+        )
+        has_depth = frame.valid & (frame.kp_depth > 0)
+        pts = projection.backproject(cam, frame.kp_xy, frame.kp_depth)
+        state, slots = ms.add_points(
+            state, pts, frame.desc, kf, kf, has_depth
+        )
+        feat = jnp.arange(frame.kp_xy.shape[0], dtype=jnp.int32)
+        state = ms.add_observations(state, kf, slots, feat, has_depth)
+        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
+            slots >= 0
+        )
+        state = ms.compute_distinctive_descriptors(state, pmask)
+        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.update_connections(state, kf)
+        matched = jnp.where(has_depth, slots, -1)
+        return state, kf, matched, jnp.sum(has_depth.astype(jnp.int32))
+
+    @jax.jit
+    def track_motion(state: ms.MapState, frame: frame_mod.FrameData,
+                     pose_pred: jax.Array,
+                     last_matched: jax.Array, last_frame: frame_mod.FrameData,
+                     th: jax.Array):
+        """`Tracking::TrackWithMotionModel` (`src/Tracking.cc:1114-1175`)."""
+        ok_last = last_matched >= 0
+        pt_pos = state.pt_pos[jnp.clip(last_matched, 0)]
+        ok_last = ok_last & state.pt_valid[jnp.clip(last_matched, 0)]
+        matches, n = matching.search_by_projection_last(
+            cam, pose_pred,
+            frame.kp_xy, frame.kp_octave, frame.kp_angle, frame.desc_bits,
+            frame.valid,
+            pt_pos, last_frame.kp_octave, last_frame.kp_angle,
+            last_frame.desc_bits, ok_last,
+            bounds, scale_factors, th=th,
+        )
+        # matches: per current feature -> last-frame row; map to point slots
+        matched_pt = jnp.where(matches >= 0,
+                               last_matched[jnp.clip(matches, 0)], -1)
+        return matched_pt, n
+
+    @jax.jit
+    def track_ref_kf(state: ms.MapState, frame: frame_mod.FrameData, ref_kf):
+        """`Tracking::TrackReferenceKeyFrame` (`src/Tracking.cc:1004-1046`).
+
+        The reference matches via BoW node alignment (SearchByBoW, ratio
+        0.7); until the vocabulary stage is wired into tracking we use full
+        descriptor matching with the same ratio + rotation check (a strict
+        superset of candidates)."""
+        kf_bits = hamming.unpack_bits(state.kf_desc[ref_kf])
+        kf_pts = state.kf_kp_point[ref_kf]
+        kf_ok = state.kf_kp_valid[ref_kf] & (kf_pts >= 0)
+        kf_ok = kf_ok & state.pt_valid[jnp.clip(kf_pts, 0)]
+        matches, n = matching.search_by_descriptor(
+            frame.desc_bits, frame.valid, kf_bits, kf_ok,
+            frame.kp_angle, state.kf_kp_angle[ref_kf],
+            th=hamming.TH_LOW, nn_ratio=0.7,
+        )
+        matched_pt = jnp.where(matches >= 0, kf_pts[jnp.clip(matches, 0)], -1)
+        return matched_pt, n
+
+    @jax.jit
+    def optimize_pose(state: ms.MapState, frame: frame_mod.FrameData,
+                      pose0: jax.Array, matched_pt: jax.Array):
+        """PoseOptimization wrapper + outlier stripping
+        (`src/Tracking.cc:1154-1174`)."""
+        ok = (matched_pt >= 0) & state.pt_valid[jnp.clip(matched_pt, 0)]
+        obs = pose_opt.PoseObs(
+            pt_w=state.pt_pos[jnp.clip(matched_pt, 0)],
+            uv=frame.kp_xy,
+            ur=frame.kp_ur,
+            inv_sigma2=builder.inv_level_sigma2[jnp.clip(frame.kp_octave, 0)],
+            valid=ok,
+        )
+        pose, inlier, n_inl = pose_opt.pose_optimization(cam, pose0, obs)
+        matched_pt = jnp.where(inlier, matched_pt, -1)
+        return pose, matched_pt, n_inl
+
+    @jax.jit
+    def gather_local_map(state: ms.MapState, matched_pt: jax.Array):
+        """`Tracking::UpdateLocalKeyFrames/Points` (`src/Tracking.cc:1455-1599`):
+        vote for KFs observing current points; local map = points of the
+        top-80 voted KFs. Returns (local_pt_idx (LOCAL_PTS,), ref_kf)."""
+        K = state.kf_capacity
+        ok = (matched_pt >= 0)
+        safe = jnp.clip(matched_pt, 0)
+        obs_kf = state.pt_obs_kf[safe]  # (N,O)
+        obs_ok = ok[:, None] & (obs_kf >= 0)
+        votes = jnp.zeros(K, jnp.int32).at[
+            jnp.where(obs_ok, obs_kf, K - 1).reshape(-1)
+        ].add(obs_ok.reshape(-1).astype(jnp.int32), mode="drop")
+        votes = jnp.where(state.kf_valid, votes, 0)
+        ref_kf = jnp.argmax(votes).astype(jnp.int32)
+        top_votes, top_kfs = jax.lax.top_k(votes, min(LOCAL_KFS, K))
+        kf_sel = top_votes > 0
+        # add covisible neighbors of voted KFs (Tracking.cc:1550-1563) by
+        # flagging their top-10 covisible rows
+        neigh = ms.covisible_keyframes(state, ref_kf, 10)
+        kf_mask = jnp.zeros(K, bool).at[jnp.where(kf_sel, top_kfs, K - 1)].set(
+            kf_sel, mode="drop"
+        )
+        kf_mask = kf_mask.at[jnp.clip(neigh, 0)].set(
+            kf_mask[jnp.clip(neigh, 0)] | (neigh >= 0)
+        )
+        # local points: all points referenced by selected KFs
+        pts_of_kfs = jnp.where(kf_mask[:, None], state.kf_kp_point, -1)  # (K,N)
+        flat = pts_of_kfs.reshape(-1)
+        pt_flag = jnp.zeros(state.pt_capacity, jnp.int8).at[
+            jnp.clip(flat, 0)
+        ].max(jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
+        pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
+        _, local_idx = jax.lax.top_k(pt_flag.astype(jnp.int32), LOCAL_PTS)
+        has = pt_flag[local_idx] > 0
+        local_idx = jnp.where(has, local_idx.astype(jnp.int32), -1)
+        return local_idx, ref_kf
+
+    @jax.jit
+    def track_local_map(state: ms.MapState, frame: frame_mod.FrameData,
+                        pose: jax.Array, matched_pt: jax.Array,
+                        local_idx: jax.Array, th: jax.Array):
+        """`Tracking::SearchLocalPoints` + pose opt
+        (`src/Tracking.cc:1177-1221,1403-1453`)."""
+        lp = jnp.clip(local_idx, 0)
+        lp_valid = (local_idx >= 0) & state.pt_valid[lp]
+        # skip points already matched in this frame (Tracking.cc:1408-1419)
+        already = jnp.zeros(state.pt_capacity, bool).at[
+            jnp.clip(matched_pt, 0)
+        ].set(matched_pt >= 0)
+        lp_valid = lp_valid & ~already[lp]
+        new_matches, n_new, visible = matching.search_by_projection_points(
+            cam, pose,
+            frame.kp_xy, frame.kp_octave, frame.desc_bits, frame.valid,
+            matched_pt >= 0,
+            state.pt_pos[lp], state.pt_normal[lp], state.pt_min_dist[lp],
+            state.pt_max_dist[lp], _desc_bits_of_points(state, local_idx),
+            lp_valid, bounds, scale_factors, th=th,
+            n_levels=n_levels, scale_factor=scale_factor,
+        )
+        merged = jnp.where(
+            (new_matches >= 0) & (matched_pt < 0),
+            local_idx[jnp.clip(new_matches, 0)], matched_pt
+        )
+        pose2, merged, n_inl = optimize_pose(state, frame, pose, merged)
+        # visibility bookkeeping (MapPoint::IncreaseVisible/Found analogue)
+        vis_idx = jnp.where(lp_valid & visible, lp, state.pt_capacity - 1)
+        visible_upd = state.pt_visible.at[vis_idx].add(1, mode="drop")
+        fnd_idx = jnp.clip(merged, 0)
+        found_upd = state.pt_found.at[fnd_idx].add(
+            jnp.where(merged >= 0, 1, 0), mode="drop"
+        )
+        state = state._replace(pt_visible=visible_upd, pt_found=found_upd)
+        return state, pose2, merged, n_inl
+
+    @jax.jit
+    def create_keyframe_rgbd(state: ms.MapState, frame: frame_mod.FrameData,
+                             pose: jax.Array, matched_pt: jax.Array, frame_id,
+                             close_depth_th: jax.Array):
+        """`Tracking::CreateNewKeyFrame` (`src/Tracking.cc:1323-1401`): insert
+        KF; create new points for close features lacking one (depth <
+        thDepth, up to 100 sorted by depth — we create ALL close ones, the
+        batched equivalent of the reference's `nPoints>100 && bCreateNew`
+        loop cap)."""
+        state, kf = ms.add_keyframe(
+            state, pose, frame.timestamp, frame_id,
+            frame.kp_xy, frame.kp_ur, frame.kp_depth, frame.kp_octave,
+            frame.kp_angle, frame.valid, frame.desc,
+        )
+        # existing matches become observations of the new KF
+        feat = jnp.arange(frame.kp_xy.shape[0], dtype=jnp.int32)
+        has_match = (matched_pt >= 0) & state.pt_valid[jnp.clip(matched_pt, 0)]
+        state = ms.add_observations(state, kf, matched_pt, feat, has_match)
+        # new close points
+        need_new = (
+            frame.valid & ~has_match & (frame.kp_depth > 0)
+            & (frame.kp_depth < close_depth_th)
+        )
+        p_cam = projection.backproject(cam, frame.kp_xy, frame.kp_depth)
+        Twc = se3.se3_inv(pose)
+        p_world = se3.transform_points(Twc, p_cam)
+        state, slots = ms.add_points(state, p_world, frame.desc, kf, kf, need_new)
+        state = ms.add_observations(state, kf, slots, feat, need_new)
+        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
+            slots >= 0
+        )
+        state = ms.compute_distinctive_descriptors(state, pmask)
+        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.update_connections(state, kf)
+        matched = jnp.where(need_new, slots, matched_pt)
+        return state, kf, matched
+
+    @jax.jit
+    def match_for_initialization(f1: frame_mod.FrameData,
+                                 f2: frame_mod.FrameData):
+        """`SearchForInitialization` window=100 nn=0.9 on level-0 features
+        (`src/Tracking.cc:843`)."""
+        v1 = f1.valid & (f1.kp_octave == 0)
+        v2 = f2.valid & (f2.kp_octave == 0)
+        return matching.search_for_initialization(
+            f1.kp_xy, f1.kp_angle, f1.desc_bits, v1,
+            f2.kp_xy, f2.kp_angle, f2.desc_bits, v2,
+            window=100.0, nn_ratio=0.9,
+        )
+
+    @jax.jit
+    def create_initial_map_mono(state: ms.MapState, f1: frame_mod.FrameData,
+                                f2: frame_mod.FrameData, frame_id1, frame_id2,
+                                matches12: jax.Array, R21, t21,
+                                pts3d: jax.Array, good: jax.Array):
+        """`Tracking::CreateInitialMapMonocular` (`src/Tracking.cc:882-984`):
+        two KFs, triangulated points, connections, then median-depth scale
+        normalization (GBA runs host-side right after)."""
+        T1 = jnp.eye(4, dtype=jnp.float32)
+        T2 = se3.rt_to_mat(R21, t21).astype(jnp.float32)
+        state, kf1 = ms.add_keyframe(
+            state, T1, f1.timestamp, frame_id1, f1.kp_xy, f1.kp_ur,
+            f1.kp_depth, f1.kp_octave, f1.kp_angle, f1.valid, f1.desc,
+        )
+        state, kf2 = ms.add_keyframe(
+            state, T2, f2.timestamp, frame_id2, f2.kp_xy, f2.kp_ur,
+            f2.kp_depth, f2.kp_octave, f2.kp_angle, f2.valid, f2.desc,
+        )
+        ok = good & (matches12 >= 0)
+        m2 = jnp.clip(matches12, 0)
+        state, slots = ms.add_points(state, pts3d, f1.desc, kf1, kf1, ok)
+        feat1 = jnp.arange(f1.kp_xy.shape[0], dtype=jnp.int32)
+        state = ms.add_observations(state, kf1, slots, feat1, ok)
+        state = ms.add_observations(state, kf2, slots, m2, ok)
+        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
+            slots >= 0
+        )
+        state = ms.compute_distinctive_descriptors(state, pmask)
+        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.update_connections(state, kf1)
+        state = ms.update_connections(state, kf2)
+        # median scene depth of KF1 for scale normalization (Tracking.cc:934-960)
+        z = se3.transform_points(T1, state.pt_pos)[:, 2]
+        zv = jnp.where(pmask, z, jnp.inf)
+        n_pts = jnp.sum(pmask.astype(jnp.int32))
+        med = jnp.sort(zv)[jnp.clip((n_pts - 1) // 2, 0)]
+        inv_med = 1.0 / jnp.maximum(med, 1e-9)
+        # scale translation of KF2 + all points
+        T2s = T2.at[:3, 3].multiply(inv_med)
+        state = state._replace(
+            kf_pose=state.kf_pose.at[kf2].set(T2s),
+            pt_pos=jnp.where(pmask[:, None], state.pt_pos * inv_med,
+                             state.pt_pos),
+        )
+        n2 = f2.kp_xy.shape[0]
+        safe_m2 = jnp.where(ok, m2, n2 - 1)
+        matched2 = jnp.full((n2,), -1, jnp.int32).at[safe_m2].max(
+            jnp.where(ok, slots, -1)
+        )
+        return state, kf1, kf2, matched2, n_pts, med
+
+    @jax.jit
+    def create_keyframe_mono(state: ms.MapState, frame: frame_mod.FrameData,
+                             pose: jax.Array, matched_pt: jax.Array, frame_id):
+        """Mono `CreateNewKeyFrame` — no depth-seeded points
+        (`src/Tracking.cc:1331-1334` early return for mono)."""
+        state, kf = ms.add_keyframe(
+            state, pose, frame.timestamp, frame_id,
+            frame.kp_xy, frame.kp_ur, frame.kp_depth, frame.kp_octave,
+            frame.kp_angle, frame.valid, frame.desc,
+        )
+        feat = jnp.arange(frame.kp_xy.shape[0], dtype=jnp.int32)
+        has = (matched_pt >= 0) & state.pt_valid[jnp.clip(matched_pt, 0)]
+        state = ms.add_observations(state, kf, matched_pt, feat, has)
+        state = ms.update_connections(state, kf)
+        return state, kf
+
+    return dict(
+        init_rgbd=init_rgbd,
+        track_motion=track_motion,
+        track_ref_kf=track_ref_kf,
+        optimize_pose=optimize_pose,
+        gather_local_map=gather_local_map,
+        track_local_map=track_local_map,
+        create_keyframe_rgbd=create_keyframe_rgbd,
+        match_for_initialization=match_for_initialization,
+        create_initial_map_mono=create_initial_map_mono,
+        create_keyframe_mono=create_keyframe_mono,
+    )
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    min_frames: int = 0  # Tracking.cc:163-174
+    max_frames: int = 30  # = fps
+    th_depth: float = 3.0  # meters (bf/fx * ThDepth)
+    min_init_features: int = 500  # Tracking.cc:752
+    motion_th: float = 15.0  # RGBD/mono window (Tracking.cc:1127)
+    local_th: float = 3.0  # RGBD local search (Tracking.cc:1447); mono 1
+    is_mono: bool = False
+
+
+class Tracker:
+    """Host state machine over the jitted steps (replaces the Tracking
+    thread's member state, `include/Tracking.h:85-228`)."""
+
+    def __init__(self, cam: projection.Camera, builder: frame_mod.FrameBuilder,
+                 state: ms.MapState, cfg: TrackerConfig,
+                 n_levels: int = 4, scale_factor: float = 1.5):
+        self.cam = cam
+        self.builder = builder
+        self.map = state
+        self.cfg = cfg
+        self.k = make_tracking_kernels(cam, builder, n_levels, scale_factor)
+        self.state = NO_IMAGES_YET
+        self.velocity: np.ndarray | None = None
+        self.last_pose: np.ndarray | None = None
+        self.last_frame: frame_mod.FrameData | None = None
+        self.last_matched = None
+        self.ref_kf = 0
+        self.frame_id = 0
+        self.last_kf_frame_id = 0
+        self.new_kf_slots: list[int] = []  # queue for local mapping
+        self.relocalizer = None  # set by SLAMSystem when a vocabulary exists
+        self._init_frame = None  # mono initializer reference frame
+        # trajectory records (host): (timestamp, Tcw, lost)
+        self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+        self.n_inliers = 0
+
+    # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
+    def track_rgbd(self, image, depth, timestamp: float) -> np.ndarray | None:
+        fr = self.builder.build(image, timestamp, depth)
+        pose = self._track(fr)
+        self.frame_id += 1
+        return pose
+
+    # -- monocular entry (GrabImageMonocular, Tracking.cc:405-441) ---------
+    def track_monocular(self, image, timestamp: float) -> np.ndarray | None:
+        fr = self.builder.build(image, timestamp)
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            pose = self._mono_initialize(fr)
+        else:
+            pose = self._track(fr)
+        self.frame_id += 1
+        return pose
+
+    def _mono_initialize(self, fr: frame_mod.FrameData) -> np.ndarray | None:
+        """`Tracking::MonocularInitialization` (`src/Tracking.cc:804-880`) +
+        `CreateInitialMapMonocular` (`:882-984`)."""
+        import jax as _jax
+
+        t = float(fr.timestamp)
+        n_feat = int(jnp.sum(fr.valid))
+        if getattr(self, "_init_frame", None) is None:
+            if n_feat > 100:  # Tracking.cc:809
+                self._init_frame = fr
+                self._init_frame_id = self.frame_id
+            self.state = NOT_INITIALIZED
+            self._record(None, True, t)
+            return None
+        if n_feat <= 100:  # discard initializer (Tracking.cc:830-836)
+            self._init_frame = None
+            self._record(None, True, t)
+            return None
+        matches12, n = self.k["match_for_initialization"](self._init_frame, fr)
+        if int(n) < 100:  # Tracking.cc:847-853
+            self._init_frame = None
+            self._record(None, True, t)
+            return None
+        K = np.array([
+            [float(self.cam.fx), 0, float(self.cam.cx)],
+            [0, float(self.cam.fy), float(self.cam.cy)],
+            [0, 0, 1.0],
+        ], np.float32)
+        # align matched pairs: kp1[i] <-> kp2[matches12[i]]
+        m = np.asarray(matches12)
+        sel = m >= 0
+        kp1 = self._init_frame.kp_xy
+        kp2_full = np.asarray(fr.kp_xy)
+        kp2_aligned = np.zeros_like(np.asarray(kp1))
+        kp2_aligned[sel] = kp2_full[m[sel]]
+        out = initializer_mod.initialize_two_view(
+            _jax.random.PRNGKey(self.frame_id), jnp.asarray(kp1),
+            jnp.asarray(kp2_aligned), jnp.asarray(sel), 200, jnp.asarray(K),
+        )
+        if not bool(out["success"]):
+            self._record(None, True, t)
+            return None
+        state, kf1, kf2, matched2, n_pts, med = self.k["create_initial_map_mono"](
+            self.map, self._init_frame, fr, self._init_frame_id,
+            self.frame_id, matches12, out["R21"], out["t21"],
+            out["points3d"], out["good"],
+        )
+        if float(med) < 0 or int(n_pts) < 100:  # Tracking.cc:937-944
+            self._record(None, True, t)
+            return None
+        self.map = state
+        self.state = OK
+        self.ref_kf = int(kf2)
+        pose = np.asarray(self.map.kf_pose[kf2])
+        self.last_pose = pose
+        self.last_frame = fr
+        self.last_matched = matched2
+        self.new_kf_slots += [int(kf1), int(kf2)]
+        self.last_kf_frame_id = self.frame_id
+        self._init_frame = None
+        self._record(pose, False, t)
+        return pose
+
+    def _record(self, pose_cw, lost: bool, t: float):
+        self.trajectory.append(
+            (t, np.asarray(pose_cw) if pose_cw is not None else np.eye(4), lost)
+        )
+
+    def _track(self, fr: frame_mod.FrameData) -> np.ndarray | None:
+        t = float(fr.timestamp)
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            n_feat = int(jnp.sum(fr.valid))
+            if n_feat < self.cfg.min_init_features:
+                self.state = NOT_INITIALIZED
+                self._record(None, True, t)
+                return None
+            self.map, kf, matched, n_pts = self.k["init_rgbd"](
+                self.map, fr, self.frame_id
+            )
+            self.state = OK
+            self.ref_kf = int(kf)
+            self.last_pose = np.eye(4, dtype=np.float32)
+            self.last_frame = fr
+            self.last_matched = matched
+            self.new_kf_slots.append(int(kf))
+            self.last_kf_frame_id = self.frame_id
+            self._record(np.eye(4), False, t)
+            return np.eye(4)
+
+        # ---- OK / LOST ----
+        pose = None
+        matched = None
+        if self.state == OK:
+            if self.velocity is not None:
+                pose_pred = jnp.asarray(self.velocity @ self.last_pose)
+                matched, n = self.k["track_motion"](
+                    self.map, fr, pose_pred, self.last_matched,
+                    self.last_frame, jnp.asarray(self.cfg.motion_th),
+                )
+                if int(n) < 20:  # widen once (Tracking.cc:1141-1147)
+                    matched, n = self.k["track_motion"](
+                        self.map, fr, pose_pred, self.last_matched,
+                        self.last_frame, jnp.asarray(2 * self.cfg.motion_th),
+                    )
+                if int(n) >= 20:
+                    pose, matched, n_inl = self.k["optimize_pose"](
+                        self.map, fr, pose_pred, matched
+                    )
+                    if int(n_inl) < 10:
+                        pose = None
+            if pose is None:  # fall back to reference-KF tracking
+                matched, n = self.k["track_ref_kf"](self.map, fr, self.ref_kf)
+                if int(n) >= 15:  # Tracking.cc:1013
+                    pose, matched, n_inl = self.k["optimize_pose"](
+                        self.map, fr, jnp.asarray(self.last_pose), matched
+                    )
+                    if int(n_inl) < 10:
+                        pose = None
+        else:  # LOST -> Relocalization (Tracking.cc:1601-1775)
+            if self.relocalizer is not None:
+                out = self.relocalizer.relocalize(
+                    self.map, fr, self.k["optimize_pose"], self.frame_id
+                )
+                if out is not None:
+                    pose, matched, _ = out
+                    pose = jnp.asarray(pose)
+            if pose is None:  # fallback: refKF matching retry
+                matched, n = self.k["track_ref_kf"](self.map, fr, self.ref_kf)
+                if int(n) >= 15:
+                    pose, matched, n_inl = self.k["optimize_pose"](
+                        self.map, fr, jnp.asarray(self.last_pose), matched
+                    )
+                    if int(n_inl) < 10:
+                        pose = None
+
+        if pose is None:
+            self.state = LOST
+            self._record(None, True, t)
+            self.velocity = None
+            return None
+
+        # ---- local map tracking ----
+        local_idx, ref_kf = self.k["gather_local_map"](self.map, matched)
+        self.map, pose, matched, n_inl = self.k["track_local_map"](
+            self.map, fr, pose, matched, local_idx,
+            jnp.asarray(self.cfg.local_th),
+        )
+        self.n_inliers = int(n_inl)
+        self.ref_kf = int(ref_kf)
+        if self.n_inliers < 30:  # Tracking.cc:1213-1219
+            self.state = LOST
+            self._record(None, True, t)
+            self.velocity = None
+            return None
+
+        self.state = OK
+        pose_np = np.asarray(pose)
+        # velocity (Tracking.cc:667-674)
+        if self.last_pose is not None:
+            self.velocity = pose_np @ np.asarray(
+                se3.se3_inv(jnp.asarray(self.last_pose))
+            )
+        # keyframe decision
+        if self._need_new_keyframe(fr, matched):
+            if self.cfg.is_mono:
+                self.map, kf = self.k["create_keyframe_mono"](
+                    self.map, fr, pose, matched, self.frame_id
+                )
+            else:
+                close_th = jnp.asarray(self.cfg.th_depth, jnp.float32)
+                self.map, kf, matched = self.k["create_keyframe_rgbd"](
+                    self.map, fr, pose, matched, self.frame_id, close_th
+                )
+            self.new_kf_slots.append(int(kf))
+            self.last_kf_frame_id = self.frame_id
+            self.ref_kf = int(kf)
+
+        self.last_pose = pose_np
+        self.last_frame = fr
+        self.last_matched = matched
+        self._record(pose_np, False, t)
+        return pose_np
+
+    def _need_new_keyframe(self, fr: frame_mod.FrameData, matched) -> bool:
+        """`Tracking::NeedNewKeyFrame` (`src/Tracking.cc:1224-1321`), RGB-D
+        branch with the reference's ratios."""
+        if int(self.map.n_kf) >= self.map.kf_capacity - 1:
+            return False
+        # tracked-close / need-close counts (Tracking.cc:1253-1266)
+        if self.cfg.is_mono:
+            need_close = False
+        else:
+            depth = np.asarray(fr.kp_depth)
+            valid = np.asarray(fr.valid)
+            m = np.asarray(matched)
+            close = valid & (depth > 0) & (depth < self.cfg.th_depth)
+            tracked_close = int((close & (m >= 0)).sum())
+            nontracked_close = int((close & (m < 0)).sum())
+            need_close = tracked_close < 100 and nontracked_close > 70
+        n_kfs = int(jnp.sum(self.map.kf_valid))
+        # thRefRatio: mono 0.9; 0.4 if map has <2 KFs (Tracking.cc:1277-1283)
+        th_ref = 0.9 if self.cfg.is_mono else 0.75
+        if n_kfs < 2:
+            th_ref = 0.4
+        ref_matches = int(
+            jnp.sum((self.map.kf_kp_point[self.ref_kf] >= 0)
+                    & self.map.kf_kp_valid[self.ref_kf])
+        )
+        c1a = self.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
+        c1b = self.frame_id >= self.last_kf_frame_id + self.cfg.min_frames
+        c1c = self.n_inliers < ref_matches * 0.25 or need_close
+        c2 = (self.n_inliers < ref_matches * th_ref or need_close) and \
+            self.n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)

@@ -1,0 +1,456 @@
+"""Fixed-capacity structure-of-arrays SLAM map state.
+
+TPU-native redesign of the reference's pointer-graph map (SURVEY.md §7.1):
+`Map` + `KeyFrame` + `MapPoint` (`src/Map.cc`, `src/KeyFrame.cc`,
+`src/MapPoint.cc`) become ONE immutable pytree of padded arrays with validity
+masks. Object identity = array slot; "bad" objects (the reference's
+soft-delete `mbBad` lifecycle, `include/MapPoint.h:150-152`,
+`KeyFrame::SetBadFlag` `src/KeyFrame.cc:1174-1283`) are mask bits. All
+mutations are pure functions returning a new state, so tracking / mapping /
+loop threads become data dependencies instead of mutexes (the reference's
+`Map::mMutexMapUpdate` stop-the-world lock, `include/Map.h:69`).
+
+Graph storage:
+- forward observations: `kf_kp_point[k, n]` = map-point slot seen by feature
+  n of keyframe k (-1 if none) — the analogue of `KeyFrame::mvpMapPoints`;
+- reverse observations: `pt_obs_kf/pt_obs_idx` (P, MAX_OBS) padded lists —
+  the analogue of `MapPoint::mObservations`;
+- covisibility: dense (K, K) int32 weight matrix (`KeyFrame::mConnectedKeyFrameWeights`,
+  recomputed by `update_connections` like `KeyFrame::UpdateConnections`
+  `src/KeyFrame.cc:1010-1100`);
+- spanning tree: `kf_parent` (K,) + implicit children, loop edges (K, MAX_LOOP).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+MAX_OBS = 32  # per-point observation capacity
+MAX_LOOP_EDGES = 8
+
+# Covisibility-graph constants (SURVEY.md appendix A)
+COVIS_MIN_WEIGHT = 15  # KeyFrame.cc:1051
+ESSENTIAL_MIN_WEIGHT = 100  # Optimizer.cc:806
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_pose: jax.Array  # (K,4,4) f32, Tcw (world->camera)
+    kf_valid: jax.Array  # (K,) bool — allocated and not bad
+    kf_timestamp: jax.Array  # (K,) f64
+    kf_frame_id: jax.Array  # (K,) i32 — source frame id (KeyFrame::mnFrameId)
+    # per-keyframe features (immutable snapshot, like KeyFrame's const fields)
+    kf_kp_xy: jax.Array  # (K,N,2) f32 undistorted pixel coords (mvKeysUn)
+    kf_kp_ur: jax.Array  # (K,N) f32 right-image u; <0 = mono (mvuRight)
+    kf_kp_depth: jax.Array  # (K,N) f32 depth; <=0 = none (mvDepth)
+    kf_kp_octave: jax.Array  # (K,N) i32
+    kf_kp_angle: jax.Array  # (K,N) f32 degrees
+    kf_kp_valid: jax.Array  # (K,N) bool
+    kf_desc: jax.Array  # (K,N,32) u8
+    kf_kp_point: jax.Array  # (K,N) i32 point slot or -1 (mvpMapPoints)
+    # --- map points ---
+    pt_pos: jax.Array  # (P,3) f32 world position
+    pt_valid: jax.Array  # (P,) bool
+    pt_desc: jax.Array  # (P,32) u8 distinctive descriptor
+    pt_normal: jax.Array  # (P,3) f32 mean viewing direction
+    pt_min_dist: jax.Array  # (P,) f32 scale-invariance band (mfMinDistance)
+    pt_max_dist: jax.Array  # (P,) f32 (mfMaxDistance)
+    pt_ref_kf: jax.Array  # (P,) i32 reference keyframe slot
+    pt_first_kf: jax.Array  # (P,) i32 first-observing KF slot (mnFirstKFid)
+    pt_visible: jax.Array  # (P,) i32 mnVisible
+    pt_found: jax.Array  # (P,) i32 mnFound
+    pt_obs_kf: jax.Array  # (P,MAX_OBS) i32 observing KF slots, -1 pad
+    pt_obs_idx: jax.Array  # (P,MAX_OBS) i32 feature index in that KF
+    # --- graph ---
+    covis: jax.Array  # (K,K) i32 shared-observation counts
+    kf_parent: jax.Array  # (K,) i32 spanning-tree parent slot (-1 root)
+    kf_loop_edges: jax.Array  # (K,MAX_LOOP_EDGES) i32, -1 pad
+    # --- counters ---
+    n_kf: jax.Array  # () i32 — number of allocated KF slots (monotone)
+    n_pt: jax.Array  # () i32 — number of allocated point slots (monotone)
+
+    @property
+    def kf_capacity(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def pt_capacity(self) -> int:
+        return self.pt_pos.shape[0]
+
+    @property
+    def n_features(self) -> int:
+        return self.kf_kp_xy.shape[1]
+
+
+def empty_map(max_keyframes: int, max_points: int, n_features: int,
+              dtype=jnp.float32) -> MapState:
+    # Built host-side with numpy then transferred in one shot: eager jnp
+    # fills would each trigger a per-shape XLA compile.
+    import numpy as np
+
+    K, P, N = max_keyframes, max_points, n_features
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    host = MapState(
+        kf_pose=np.tile(np.eye(4, dtype=npdtype), (K, 1, 1)),
+        kf_valid=np.zeros(K, bool),
+        kf_timestamp=np.zeros(K, npdtype),
+        kf_frame_id=np.zeros(K, np.int32),
+        kf_kp_xy=np.zeros((K, N, 2), npdtype),
+        kf_kp_ur=np.full((K, N), -1.0, npdtype),
+        kf_kp_depth=np.zeros((K, N), npdtype),
+        kf_kp_octave=np.zeros((K, N), np.int32),
+        kf_kp_angle=np.zeros((K, N), npdtype),
+        kf_kp_valid=np.zeros((K, N), bool),
+        kf_desc=np.zeros((K, N, 32), np.uint8),
+        kf_kp_point=np.full((K, N), -1, np.int32),
+        pt_pos=np.zeros((P, 3), npdtype),
+        pt_valid=np.zeros(P, bool),
+        pt_desc=np.zeros((P, 32), np.uint8),
+        pt_normal=np.zeros((P, 3), npdtype),
+        pt_min_dist=np.zeros(P, npdtype),
+        pt_max_dist=np.zeros(P, npdtype),
+        pt_ref_kf=np.full(P, -1, np.int32),
+        pt_first_kf=np.full(P, -1, np.int32),
+        pt_visible=np.ones(P, np.int32),
+        pt_found=np.ones(P, np.int32),
+        pt_obs_kf=np.full((P, MAX_OBS), -1, np.int32),
+        pt_obs_idx=np.full((P, MAX_OBS), -1, np.int32),
+        covis=np.zeros((K, K), np.int32),
+        kf_parent=np.full(K, -1, np.int32),
+        kf_loop_edges=np.full((K, MAX_LOOP_EDGES), -1, np.int32),
+        n_kf=np.int32(0),
+        n_pt=np.int32(0),
+    )
+    return jax.tree.map(jnp.asarray, host)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe / point allocation
+# ---------------------------------------------------------------------------
+
+
+def add_keyframe(state: MapState, pose_cw: jax.Array, timestamp, frame_id,
+                 kp_xy, kp_ur, kp_depth, kp_octave, kp_angle, kp_valid, desc,
+                 kp_point=None) -> tuple[MapState, jax.Array]:
+    """Append a keyframe at slot n_kf; returns (state, slot).
+
+    Analogue of `Tracking::CreateNewKeyFrame` (`src/Tracking.cc:1323`) +
+    `Map::AddKeyFrame` (`src/Map.cc:150`). Capacity overflow is the caller's
+    responsibility (check state.n_kf < kf_capacity on host).
+    """
+    k = state.n_kf
+    if kp_point is None:
+        kp_point = jnp.full((state.n_features,), -1, jnp.int32)
+    state = state._replace(
+        kf_pose=state.kf_pose.at[k].set(pose_cw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_timestamp=state.kf_timestamp.at[k].set(timestamp),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_kp_xy=state.kf_kp_xy.at[k].set(kp_xy),
+        kf_kp_ur=state.kf_kp_ur.at[k].set(kp_ur),
+        kf_kp_depth=state.kf_kp_depth.at[k].set(kp_depth),
+        kf_kp_octave=state.kf_kp_octave.at[k].set(kp_octave),
+        kf_kp_angle=state.kf_kp_angle.at[k].set(kp_angle),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(kp_valid),
+        kf_desc=state.kf_desc.at[k].set(desc),
+        kf_kp_point=state.kf_kp_point.at[k].set(kp_point),
+        n_kf=state.n_kf + 1,
+    )
+    return state, k
+
+
+def add_points(state: MapState, pos: jax.Array, desc: jax.Array,
+               ref_kf, first_kf, valid_mask: jax.Array,
+               normal=None, min_dist=None, max_dist=None
+               ) -> tuple[MapState, jax.Array]:
+    """Bulk-append B candidate points; invalid rows are skipped via masking.
+
+    Returns (state, slots (B,) i32 with -1 where masked out). Slots are
+    allocated compactly from n_pt using a prefix sum, so one call under jit
+    replaces the reference's per-point `new MapPoint` + `Map::AddMapPoint`.
+    """
+    B = pos.shape[0]
+    offs = jnp.cumsum(valid_mask.astype(jnp.int32)) - 1
+    slots = jnp.where(valid_mask, state.n_pt + offs, -1)
+    cap = state.pt_capacity
+    in_cap = slots < cap
+    slots = jnp.where(in_cap, slots, -1)
+    ok = slots >= 0
+    safe = jnp.where(ok, slots, cap - 1)  # dummy writes masked below
+
+    def scat(arr, vals, fill_ok):
+        vals = jnp.where(fill_ok.reshape((-1,) + (1,) * (vals.ndim - 1)), vals,
+                         arr[safe])
+        return arr.at[safe].set(vals)
+
+    ref_kf = jnp.broadcast_to(jnp.asarray(ref_kf, jnp.int32), (B,))
+    first_kf = jnp.broadcast_to(jnp.asarray(first_kf, jnp.int32), (B,))
+    if normal is None:
+        normal = jnp.zeros((B, 3), pos.dtype)
+    if min_dist is None:
+        min_dist = jnp.zeros(B, pos.dtype)
+    if max_dist is None:
+        max_dist = jnp.full(B, jnp.inf, pos.dtype)
+    state = state._replace(
+        pt_pos=scat(state.pt_pos, pos, ok),
+        pt_valid=scat(state.pt_valid, jnp.ones(B, bool), ok),
+        pt_desc=scat(state.pt_desc, desc, ok),
+        pt_normal=scat(state.pt_normal, normal, ok),
+        pt_min_dist=scat(state.pt_min_dist, min_dist, ok),
+        pt_max_dist=scat(state.pt_max_dist, max_dist, ok),
+        pt_ref_kf=scat(state.pt_ref_kf, ref_kf, ok),
+        pt_first_kf=scat(state.pt_first_kf, first_kf, ok),
+        pt_visible=scat(state.pt_visible, jnp.ones(B, jnp.int32), ok),
+        pt_found=scat(state.pt_found, jnp.ones(B, jnp.int32), ok),
+        pt_obs_kf=scat(state.pt_obs_kf, jnp.full((B, MAX_OBS), -1, jnp.int32), ok),
+        pt_obs_idx=scat(state.pt_obs_idx, jnp.full((B, MAX_OBS), -1, jnp.int32), ok),
+        n_pt=jnp.minimum(state.n_pt + jnp.sum(valid_mask.astype(jnp.int32)),
+                         jnp.int32(cap)),
+    )
+    return state, slots
+
+
+def add_observations(state: MapState, kf_slot, pt_slots: jax.Array,
+                     feat_idx: jax.Array, ok: jax.Array) -> MapState:
+    """Register observations point<->keyframe for a batch of features.
+
+    Forward: kf_kp_point[kf, feat] = pt. Reverse: first free lane in
+    pt_obs_kf[pt]. Analogue of `MapPoint::AddObservation`
+    (`src/MapPoint.cc` via `include/MapPoint.h:69`) + `KeyFrame::AddMapPoint`.
+    """
+    B = pt_slots.shape[0]
+    ok = ok & (pt_slots >= 0)
+    safe_pt = jnp.where(ok, pt_slots, state.pt_capacity - 1)
+    safe_ft = jnp.where(ok, feat_idx, state.n_features - 1)
+    # forward
+    cur_fwd = state.kf_kp_point[kf_slot]
+    new_fwd = cur_fwd.at[safe_ft].set(
+        jnp.where(ok, pt_slots, cur_fwd[safe_ft])
+    )
+    kf_kp_point = state.kf_kp_point.at[kf_slot].set(new_fwd)
+    # reverse: find first -1 lane per point. NOTE: pt_slots must be unique
+    # within a call (one feature per point per KF, as in the reference).
+    obs_rows = state.pt_obs_kf[safe_pt]  # (B,MAX_OBS)
+    free_lane = jnp.argmax(obs_rows < 0, axis=-1)
+    has_free = (obs_rows < 0).any(axis=-1)
+    okf = ok & has_free
+    pt_obs_kf = state.pt_obs_kf.at[safe_pt, free_lane].set(
+        jnp.where(okf, jnp.asarray(kf_slot, jnp.int32), state.pt_obs_kf[safe_pt, free_lane])
+    )
+    pt_obs_idx = state.pt_obs_idx.at[safe_pt, free_lane].set(
+        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, free_lane])
+    )
+    return state._replace(
+        kf_kp_point=kf_kp_point, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx
+    )
+
+
+def point_obs_count(state: MapState) -> jax.Array:
+    """(P,) number of observations per point (MapPoint::Observations)."""
+    return jnp.sum(state.pt_obs_kf >= 0, axis=-1).astype(jnp.int32)
+
+
+def erase_points(state: MapState, pt_mask: jax.Array) -> MapState:
+    """Soft-delete points where pt_mask is True (`MapPoint::SetBadFlag`):
+    clears validity and all forward references."""
+    fwd = state.kf_kp_point
+    bad_ref = (fwd >= 0) & pt_mask[jnp.clip(fwd, 0)]
+    fwd = jnp.where(bad_ref, -1, fwd)
+    return state._replace(
+        pt_valid=state.pt_valid & ~pt_mask,
+        kf_kp_point=fwd,
+        pt_obs_kf=jnp.where(pt_mask[:, None], -1, state.pt_obs_kf),
+        pt_obs_idx=jnp.where(pt_mask[:, None], -1, state.pt_obs_idx),
+    )
+
+
+def replace_points(state: MapState, src: jax.Array, dst: jax.Array,
+                   ok: jax.Array) -> MapState:
+    """Fuse: every forward reference to src[i] is redirected to dst[i]
+    (`MapPoint::Replace`, `src/MapPoint.cc`), then src is erased.
+
+    Reverse lists of dst are NOT extended lane-by-lane here; callers should
+    run `rebuild_observations` (cheap, fully vectorized) after a fuse batch.
+    """
+    P = state.pt_capacity
+    redirect = jnp.arange(P, dtype=jnp.int32)
+    safe_src = jnp.where(ok, src, P - 1)
+    redirect = redirect.at[safe_src].set(
+        jnp.where(ok, dst, redirect[safe_src])
+    )
+    fwd = state.kf_kp_point
+    new_fwd = jnp.where(fwd >= 0, redirect[jnp.clip(fwd, 0)], fwd)
+    # accumulate found/visible like MapPoint::Replace does
+    add_vis = jnp.zeros(P, jnp.int32).at[safe_src].add(
+        jnp.where(ok, state.pt_visible[safe_src], 0))
+    add_fnd = jnp.zeros(P, jnp.int32).at[safe_src].add(
+        jnp.where(ok, state.pt_found[safe_src], 0))
+    safe_dst = jnp.where(ok, dst, P - 1)
+    vis = state.pt_visible.at[safe_dst].add(jnp.where(ok, add_vis[safe_src], 0))
+    fnd = state.pt_found.at[safe_dst].add(jnp.where(ok, add_fnd[safe_src], 0))
+    bad = jnp.zeros(P, bool).at[safe_src].set(ok, mode="drop")
+    state = state._replace(kf_kp_point=new_fwd, pt_visible=vis, pt_found=fnd)
+    return erase_points(state, bad)
+
+
+def rebuild_observations(state: MapState) -> MapState:
+    """Recompute pt_obs_kf/pt_obs_idx from the forward map — the functional
+    replacement for the reference's incremental pointer surgery. O(K*N)."""
+    K, N = state.kf_kp_point.shape
+    P = state.pt_capacity
+    flat_pt = state.kf_kp_point.reshape(-1)  # (K*N,)
+    valid = flat_pt >= 0
+    safe_pt = jnp.where(valid, flat_pt, P - 1)
+    # lane index = running count of observations per point, via sort trick:
+    # order observations by point id (stable), then lane = position - first
+    keys = jnp.where(valid, flat_pt, P)
+    order = jnp.argsort(keys, stable=True)
+    sorted_keys = keys[order]
+    sorted_pt = flat_pt[order]
+    sorted_valid = valid[order]
+    idx_in_run = jnp.arange(K * N) - jnp.searchsorted(
+        sorted_keys, sorted_keys, side="left"
+    )
+    kf_of = order // N
+    ft_of = order % N
+    lane_ok = sorted_valid & (idx_in_run < MAX_OBS)
+    safe_rows = jnp.where(lane_ok, sorted_pt, P - 1)
+    safe_lane = jnp.where(lane_ok, idx_in_run, MAX_OBS - 1)
+    obs_kf = jnp.full((P, MAX_OBS), -1, jnp.int32)
+    obs_idx = jnp.full((P, MAX_OBS), -1, jnp.int32)
+    obs_kf = obs_kf.at[safe_rows, safe_lane].set(
+        jnp.where(lane_ok, kf_of.astype(jnp.int32), -1), mode="drop"
+    )
+    obs_idx = obs_idx.at[safe_rows, safe_lane].set(
+        jnp.where(lane_ok, ft_of.astype(jnp.int32), -1), mode="drop"
+    )
+    # last slot may have been dummy-written; ensure P-1 row only holds real obs
+    real_last = jnp.sum(jnp.where(lane_ok & (sorted_pt == P - 1), 1, 0))
+    del real_last, safe_pt
+    return state._replace(pt_obs_kf=obs_kf, pt_obs_idx=obs_idx)
+
+
+def update_connections(state: MapState, kf_slot) -> MapState:
+    """Recompute covisibility row/col for one KF + spanning-tree attach.
+
+    `KeyFrame::UpdateConnections` parity (`src/KeyFrame.cc:1010-1100`):
+    count shared map points with every other KF; keep edges with weight >=
+    15, but always keep the single best edge; on first connection, parent =
+    top covisible KF (`src/KeyFrame.cc:1092-1097`).
+    """
+    K = state.kf_capacity
+    pts = state.kf_kp_point[kf_slot]  # (N,)
+    ok = pts >= 0
+    safe = jnp.where(ok, pts, state.pt_capacity - 1)
+    obs_kf = state.pt_obs_kf[safe]  # (N,MAX_OBS)
+    obs_ok = ok[:, None] & (obs_kf >= 0)
+    safe_obs = jnp.where(obs_ok, obs_kf, K - 1)
+    counts = jnp.zeros(K, jnp.int32).at[safe_obs.reshape(-1)].add(
+        obs_ok.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    counts = counts.at[kf_slot].set(0)
+    counts = jnp.where(state.kf_valid, counts, 0)
+    best = jnp.max(counts)
+    best_kf = jnp.argmax(counts)
+    # threshold at 15, but keep the best edge even if below (KeyFrame.cc:1051-1060)
+    row = jnp.where(counts >= COVIS_MIN_WEIGHT, counts, 0)
+    row = row.at[best_kf].set(jnp.where(best > 0, best, 0))
+    covis = state.covis.at[kf_slot, :].set(row)
+    covis = covis.at[:, kf_slot].set(row)
+    # spanning tree: attach to top covisible if not yet attached and not slot 0
+    need_parent = (state.kf_parent[kf_slot] < 0) & (kf_slot != 0) & (best > 0)
+    parent = jnp.where(need_parent, best_kf.astype(jnp.int32),
+                       state.kf_parent[kf_slot])
+    return state._replace(covis=covis, kf_parent=state.kf_parent.at[kf_slot].set(parent))
+
+
+def covisible_keyframes(state: MapState, kf_slot, top_n: int) -> jax.Array:
+    """Top-N covisible KF slots by weight (−1 padded), like
+    `KeyFrame::GetBestCovisibilityKeyFrames` (`src/KeyFrame.cc:880`)."""
+    w = state.covis[kf_slot]
+    vals, idx = jax.lax.top_k(w, top_n)
+    return jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+
+
+def compute_distinctive_descriptors(state: MapState, pt_mask: jax.Array) -> MapState:
+    """Min-median-Hamming descriptor per point over its observations.
+
+    `MapPoint::ComputeDistinctiveDescriptors` parity (`src/MapPoint.cc` —
+    choose the observed descriptor whose median distance to the others is
+    least). Vectorized over all points in pt_mask at once.
+    """
+    from ..ops import hamming
+
+    P, O = state.pt_obs_kf.shape
+    ok = (state.pt_obs_kf >= 0) & pt_mask[:, None]
+    safe_kf = jnp.clip(state.pt_obs_kf, 0)
+    safe_ix = jnp.clip(state.pt_obs_idx, 0)
+    descs = state.kf_desc[safe_kf, safe_ix]  # (P,O,32)
+    bits = ((descs[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+    bits = bits.reshape(P, O, 256).astype(jnp.int8)
+    pop = jnp.sum(bits.astype(jnp.int32), -1)  # (P,O)
+    dot = jax.lax.dot_general(
+        bits, bits, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (P,O,O)
+    dist = pop[:, :, None] + pop[:, None, :] - 2 * dot
+    big = 1 << 20
+    dist = jnp.where(ok[:, None, :] & ok[:, :, None], dist, big)
+    # median over valid columns per row: sort and index at (cnt-1)//2
+    cnt = jnp.sum(ok, -1)  # (P,)
+    sdist = jnp.sort(dist, axis=-1)  # (P,O,O)
+    mid = jnp.clip((cnt - 1) // 2, 0)[:, None]
+    med = jnp.take_along_axis(
+        sdist, jnp.broadcast_to(mid[:, :, None], (P, O, 1)), axis=-1
+    )[..., 0]  # (P,O)
+    med = jnp.where(ok, med, big)
+    best = jnp.argmin(med, axis=-1)  # (P,)
+    new_desc = jnp.take_along_axis(
+        descs, best[:, None, None].repeat(32, -1), axis=1
+    )[:, 0]
+    upd = pt_mask & (cnt > 0)
+    return state._replace(
+        pt_desc=jnp.where(upd[:, None], new_desc, state.pt_desc)
+    )
+
+
+def update_normal_and_depth(state: MapState, pt_mask: jax.Array,
+                            scale_factors: jax.Array, n_levels: int) -> MapState:
+    """`MapPoint::UpdateNormalAndDepth` parity: normal = mean of unit
+    vectors point->camera-center over observations; distance band from the
+    reference KF's octave: max = dist * scale^octave, min = max / scale^(L-1)."""
+    P, O = state.pt_obs_kf.shape
+    ok = (state.pt_obs_kf >= 0) & pt_mask[:, None]
+    safe_kf = jnp.clip(state.pt_obs_kf, 0)
+    from ..geometry import se3
+
+    Twc = se3.se3_inv(state.kf_pose)  # (K,4,4)
+    centers = Twc[:, :3, 3]  # (K,3)
+    cams = centers[safe_kf]  # (P,O,3)
+    diff = state.pt_pos[:, None, :] - cams
+    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True).clip(1e-12)
+    units = diff / norm
+    cnt = jnp.sum(ok, -1).clip(1)
+    normal = jnp.sum(jnp.where(ok[:, None], units.transpose(0, 2, 1), 0.0), -1) / cnt[:, None]
+    # reference-KF distance + octave
+    ref = jnp.clip(state.pt_ref_kf, 0)
+    ref_center = centers[ref]
+    dist = jnp.linalg.norm(state.pt_pos - ref_center, axis=-1)
+    # feature index of the ref observation: lane where obs_kf == ref
+    is_ref = state.pt_obs_kf == state.pt_ref_kf[:, None]
+    lane = jnp.argmax(is_ref, axis=-1)
+    has_ref = is_ref.any(axis=-1)
+    fidx = jnp.where(has_ref, state.pt_obs_idx[jnp.arange(P), lane], 0)
+    octv = state.kf_kp_octave[ref, jnp.clip(fidx, 0)]
+    level_factor = scale_factors[jnp.clip(octv, 0, n_levels - 1)]
+    max_d = dist * level_factor
+    min_d = max_d / scale_factors[n_levels - 1]
+    upd = pt_mask & (jnp.sum(ok, -1) > 0)
+    return state._replace(
+        pt_normal=jnp.where(upd[:, None], normal, state.pt_normal),
+        pt_max_dist=jnp.where(upd, max_d, state.pt_max_dist),
+        pt_min_dist=jnp.where(upd, min_d, state.pt_min_dist),
+    )

