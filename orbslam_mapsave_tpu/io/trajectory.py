@@ -167,7 +167,9 @@ def ate_rmse(gt_ts, gt_poses, est_ts, est_poses, max_dt: float = 0.02,
     D = np.diag([1.0, 1.0, d])
     R = Vt.T @ D @ U.T
     if with_scale:
-        var_p = (Pc**2).sum() / len(P)
+        # H above is the UNnormalized correlation (no 1/n), so the variance
+        # must be unnormalized too or the scale comes out n-times too large
+        var_p = (Pc**2).sum()
         s = (S * np.diag(D)).sum() / var_p
     else:
         s = 1.0

@@ -106,6 +106,28 @@ def _robust_chi2(chi2, is_st, ok, robust):
     return jnp.sum(jnp.where(ok, val, 0.0))
 
 
+# Cost charged to an edge the candidate step pushed behind the camera
+# (z <= 0). g2o keeps such edges in the chi2 sum with their (huge) flipped
+# -projection residuals; masking them out instead would make a divergent
+# step look like an improvement (fewer summed edges), so LM would accept
+# NaN/garbage poses. A large constant preserves the reject-bad-steps
+# property with static shapes.
+_BEHIND_PENALTY = 1e7
+
+
+def _accept_cost(chi2, is_st, ok_struct, ok_z, active, robust):
+    """LM acceptance objective: Huber chi2 over structurally-active edges,
+    with invalid projections (behind camera) paying a fixed penalty."""
+    delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    d = jnp.sqrt(delta2)
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * d * jnp.sqrt(jnp.maximum(chi2, 0)) - delta2)
+    val = jnp.where(robust, rho, chi2)
+    val = jnp.where(ok_z, val, _BEHIND_PENALTY)
+    val = jnp.where(jnp.isfinite(val), val, _BEHIND_PENALTY)
+    return jnp.sum(jnp.where(active & ok_struct, val, 0.0))
+
+
 def _schur_offdiag(WHinv, W, safe_cam, C, dtype, chunk: int = 1024):
     """Off-diagonal Schur sum  S_pair[(c,a),(d,b)] = sum_l U_l V_l^T  where
     U_l[(c,a),k] = sum_o [cam(l,o)=c] WHinv[l,o,a,k]  (and V from W).
@@ -164,9 +186,13 @@ def _build_and_solve(cam, poses, pts, prob, active, robust, lam):
     gc_e = -jnp.einsum("loia,lo,loi->loa", Jc, w, r, precision=lm.HI)
     W = jnp.einsum("loia,lo,loib->loab", Jc, w, Jp, precision=lm.HI)  # (L,O,6,3)
 
-    # damp landmark blocks, invert in closed form (batched 3x3)
+    # damp landmark blocks, invert in closed form (batched 3x3).
+    # Marquardt scaling (lam * diag(H)) keeps lam dimensionless: absolute
+    # lam*I damping is negligible against fx^2-scale Hessian entries and
+    # lets steps run away along the mono scale-gauge nullspace.
     eye3 = jnp.eye(3, dtype=pts.dtype)
-    Hpp_d = Hpp + lam * eye3[None]
+    Hpp_diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)  # (L,3)
+    Hpp_d = Hpp + eye3 * (lam * Hpp_diag + 1e-8)[..., None]
     pt_has_obs = jnp.sum(w, -1) > 0
     Hpp_inv = jnp.linalg.inv(
         jnp.where(pt_has_obs[:, None, None], Hpp_d, eye3[None])
@@ -185,7 +211,10 @@ def _build_and_solve(cam, poses, pts, prob, active, robust, lam):
 
     S = -_schur_offdiag(WHinv, W, safe_cam, C, pts.dtype)  # (C,6,C,6)
     idx = jnp.arange(C)
-    S = S.at[idx, :, idx, :].add(Hcc + lam * jnp.eye(6, dtype=pts.dtype)[None])
+    Hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)  # (C,6)
+    S = S.at[idx, :, idx, :].add(
+        Hcc + jnp.eye(6, dtype=pts.dtype) * (lam * Hcc_diag + 1e-8)[..., None]
+    )
     rhs = gc - jnp.zeros((C, 6), pts.dtype).at[safe_cam.reshape(-1)].add(
         rhs_corr.reshape(L * O, 6)
     )
@@ -210,16 +239,18 @@ def _build_and_solve(cam, poses, pts, prob, active, robust, lam):
 
 
 def _run_phase(cam, poses, pts, prob, active, robust, n_iters, lam0):
+    ok_struct = prob.obs_valid & (prob.obs_cam >= 0) & prob.pt_valid[:, None]
+
     def body(carry, _):
         poses, pts, lam = carry
         _, _, _, chi2_e, ok, is_st = _edge_terms(cam, poses, pts, prob)
-        cur = _robust_chi2(chi2_e, is_st, ok & active, robust)
+        cur = _accept_cost(chi2_e, is_st, ok_struct, ok, active, robust)
         dxc, dxp = _build_and_solve(cam, poses, pts, prob, active, robust, lam)
         free = (prob.cam_valid & ~prob.cam_fixed)[:, None]
         new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
         new_pts = pts + dxp
         _, _, _, chi2_n, ok_n, is_st_n = _edge_terms(cam, new_poses, new_pts, prob)
-        new = _robust_chi2(chi2_n, is_st_n, ok_n & active, robust)
+        new = _accept_cost(chi2_n, is_st_n, ok_struct, ok_n, active, robust)
         accept = new < cur
         poses = jnp.where(accept, new_poses, poses)
         pts = jnp.where(accept, new_pts, pts)

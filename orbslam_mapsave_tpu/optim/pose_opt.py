@@ -63,6 +63,7 @@ def _normal_system(cam: projection.Camera, pose_cw: jax.Array, obs: PoseObs,
                    active: jax.Array, robust: jax.Array):
     """Accumulate H (6,6), g (6,) over active edges with optional Huber."""
     p_cam, e_uv, e_ur, chi2, is_stereo, behind = _residuals(cam, pose_cw, obs)
+    active_in = active
     active = active & ~behind
     delta2 = jnp.where(is_stereo, lm.CHI2_STEREO, lm.CHI2_MONO)
     w_rob = jnp.where(robust, lm.huber_weight(chi2, delta2), 1.0)
@@ -88,7 +89,12 @@ def _normal_system(cam: projection.Camera, pose_cw: jax.Array, obs: PoseObs,
     gm = jnp.einsum("mia,mi->ma", J_uv, e_uv, precision=lm.HI) + J_ur * e_ur[:, None]
     H = jnp.einsum("mab,m->ab", Hm, w, precision=lm.HI)
     g = -jnp.einsum("ma,m->a", gm, w, precision=lm.HI)
-    total_chi2 = jnp.sum(jnp.where(active, chi2 * w_rob, 0.0))
+    # acceptance cost: edges pushed behind the camera pay a fixed penalty
+    # instead of dropping out of the sum (masking them would make divergent
+    # steps look like improvements — see local_ba._accept_cost)
+    val = jnp.where(behind, 1e7, chi2 * w_rob)
+    val = jnp.where(jnp.isfinite(val), val, 1e7)
+    total_chi2 = jnp.sum(jnp.where(active_in, val, 0.0))
     return H, g, total_chi2
 
 
