@@ -36,6 +36,13 @@ def load_opencv_yaml(path: str | Path) -> dict[str, Any]:
     so config parsing has no OpenCV dependency.
     """
     out: dict[str, Any] = {}
+    if not Path(path).exists():
+        # the reference prints "Failed to open settings file" and exits
+        # (`src/System.cc:115-120`)
+        raise ValueError(
+            f"Failed to open settings file at: {path} — check the "
+            "--camera-yaml / Setting.yaml path"
+        )
     text = Path(path).read_text()
     for line in text.splitlines():
         line = line.split("#", 1)[0].rstrip()

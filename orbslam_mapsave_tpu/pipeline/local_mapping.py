@@ -6,6 +6,13 @@ usleep(3000) poll (`src/LocalMapping.cc:47-126`) becomes a host-side queue of
 new keyframe slots; BA abort (`mbAbortBA`) becomes the abort flag threaded
 into the jitted BA schedule.
 
+The whole mapping pass for one keyframe — point culling, triangulation over
+the covisible neighbours (`CreateNewMapPoints`, `src/LocalMapping.cc:207-452`,
+the 10/20-neighbour loop turned into a `lax.scan`), local BA and keyframe
+culling — is ONE jitted program (`LocalMapper._map_step`). On hardware where
+host<->device roundtrips cost tens of milliseconds, the reference's
+mailbox-and-mutex choreography would otherwise dominate the wall clock.
+
 Implemented stages:
 - `recent_point_culling` — `LocalMapping::MapPointCulling`
   (`src/LocalMapping.cc:170-205`): found/visible ratio < 0.25, or too few
@@ -103,7 +110,6 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         jnp.where(obs_ok, obs_kf, K - 1).reshape(-1)
     ].max(jnp.where(obs_ok, jnp.int8(1), jnp.int8(0)).reshape(-1), mode="drop")
     fixed_flag = jnp.where(in_local | ~state.kf_valid, 0, fixed_flag)
-    n_local = jnp.sum(local_ok.astype(jnp.int32))
     n_fixed_cap = ncap  # fixed cams share the capacity after locals
     _, fidx = jax.lax.top_k(fixed_flag.astype(jnp.int32), n_fixed_cap)
     f_ok = fixed_flag[fidx] > 0
@@ -147,7 +153,6 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         obs_inv_sigma2=is2,
         obs_valid=o_ok,
     )
-    del n_local
     return prob, cam_slots, lidx
 
 
@@ -186,28 +191,37 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     """Cull redundant covisible KFs of kf_slot (`src/LocalMapping.cc:632-698`).
 
     For each covisible KF: redundant if > 90% of its observed points are
-    seen by >= 3 OTHER KFs at the same or finer octave. Culled KFs keep
+    seen by >= 3 OTHER KFs at the same or finer scale. Culled KFs keep
     their slot (kf_valid=False); children re-parent to the culled KF's
     parent (flat re-parenting — the reference's best-covisible reassignment
     `src/KeyFrame.cc:1202-1274` is approximated by parent hoisting).
+
+    TPU formulation: instead of gathering every observer's octave per
+    (KF, feature, lane) — a K*N*O elementwise gather — build per-point
+    cumulative octave histograms over the observation rows once (P*O work),
+    then each (KF, feature) pair reads a single histogram bin.
     """
     K, N = state.kf_kp_point.shape
+    n_bins = 8  # histogram bins cover any realistic pyramid depth
     targets = state.covis[kf_slot] > 0  # candidate local KFs
     targets = targets & state.kf_valid & (jnp.arange(K) != 0)
+
+    # per-point cumulative octave histogram over observations:
+    # cum[p,c] = #observers of p with octave <= c
+    obs_ok = state.pt_obs_kf >= 0  # (P,O)
+    o_oct = state.kf_kp_octave[
+        jnp.clip(state.pt_obs_kf, 0), jnp.clip(state.pt_obs_idx, 0)
+    ]  # (P,O)
+    o_oct = jnp.clip(o_oct, 0, n_bins - 1)
+    onehot = (o_oct[..., None] == jnp.arange(n_bins)) & obs_ok[..., None]
+    cum = jnp.cumsum(jnp.sum(onehot.astype(jnp.int32), axis=1), axis=-1)
 
     pts = state.kf_kp_point  # (K,N)
     ok = pts >= 0
     safe_pt = jnp.clip(pts, 0)
-    my_oct = state.kf_kp_octave  # (K,N)
-    # for each observation of each KF's point: octaves of other observers
-    obs_kf = state.pt_obs_kf[safe_pt]  # (K,N,O)
-    obs_ix = state.pt_obs_idx[safe_pt]
-    obs_ok = ok[..., None] & (obs_kf >= 0)
-    other = obs_ok & (obs_kf != jnp.arange(K)[:, None, None])
-    o_oct = state.kf_kp_octave[jnp.clip(obs_kf, 0), jnp.clip(obs_ix, 0)]
-    finer = other & (o_oct <= my_oct[..., None] + 1)  # scale condition
-    n_better = jnp.sum(finer.astype(jnp.int32), -1)  # (K,N)
-    redundant_pt = ok & (n_better >= 3)
+    bin_ = jnp.clip(state.kf_kp_octave + 1, 0, n_bins - 1)  # oct' <= oct+1
+    n_leq = cum[safe_pt, bin_]  # (K,N) — includes self (self passes the cond)
+    redundant_pt = ok & (n_leq - 1 >= 3)
     n_pts = jnp.sum(ok.astype(jnp.int32), -1)
     n_red = jnp.sum(redundant_pt.astype(jnp.int32), -1)
     cull = targets & (n_pts > 0) & (
@@ -231,7 +245,8 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
 
 class LocalMapper:
     """Host driver for the mapping stage (the LocalMapping::Run loop body,
-    `src/LocalMapping.cc:47-112`, minus the thread)."""
+    `src/LocalMapping.cc:47-112`, minus the thread). One call to `process`
+    enqueues ONE device program; no host<->device synchronization."""
 
     def __init__(self, cam: projection.Camera, inv_level_sigma2,
                  is_mono: bool = False, enable_culling: bool = True,
@@ -249,7 +264,7 @@ class LocalMapper:
             n_tri_neighbors if n_tri_neighbors is not None
             else (20 if is_mono else 10)
         )
-        self.recent_start: int | None = None  # first recent point slot
+        self.recent_start = None  # device scalar: first "recent" point slot
         self.triangulate_pair = None
         if enable_triangulation:
             from . import triangulation as tri_mod
@@ -263,7 +278,11 @@ class LocalMapper:
                 n_levels, scale_factor, is_mono,
             )
 
-        @jax.jit
+        tri = self.triangulate_pair
+        n_tri = self.n_tri_neighbors
+        is_mono_ = self.is_mono
+        enable_culling_ = self.enable_culling
+
         def _ba(state, kf_slot, abort):
             prob, cam_slots, lidx = build_local_ba_problem(
                 state, kf_slot, cam, self.inv_level_sigma2
@@ -271,39 +290,67 @@ class LocalMapper:
             res = local_ba.local_bundle_adjustment(cam, prob, abort=abort)
             return apply_ba_result(state, res, cam_slots, lidx, prob)
 
-        self._ba = _ba
+        self._ba = jax.jit(_ba)
 
-    def process(self, state: ms.MapState, kf_slot: int,
+        @jax.jit
+        def _map_step(state: ms.MapState, kf_slot, recent_start, abort):
+            """One full LocalMapping::Run loop body as a single device
+            program (culling -> triangulation scan -> connections -> BA ->
+            KF culling)."""
+            P = state.pt_capacity
+            recent = (jnp.arange(P) >= recent_start) & (
+                jnp.arange(P) < state.n_pt
+            )
+            state = recent_point_culling(state, recent, kf_slot, is_mono_)
+
+            if tri is not None:
+                neigh = ms.covisible_keyframes(state, kf_slot, n_tri)
+
+                def tri_body(carry, nb):
+                    st, pmask = carry
+
+                    def run(st):
+                        st2, slots, _ = tri.core(st, kf_slot,
+                                                 jnp.maximum(nb, 0))
+                        m = jnp.zeros(P, bool).at[jnp.clip(slots, 0)].set(
+                            slots >= 0
+                        )
+                        return st2, m
+
+                    st, m = jax.lax.cond(
+                        nb >= 0, run,
+                        lambda st: (st, jnp.zeros(P, bool)), st,
+                    )
+                    return (st, pmask | m), None
+
+                (state, new_mask), _ = jax.lax.scan(
+                    tri_body, (state, jnp.zeros(P, bool)), neigh
+                )
+                state = tri.finalize(state, new_mask)
+                state = ms.update_connections(state, kf_slot)
+
+            def run_ba(state):
+                state = _ba(state, kf_slot, abort)
+                if enable_culling_:
+                    state = keyframe_culling(state, kf_slot)
+                return state
+
+            n_kf = jnp.sum(state.kf_valid.astype(jnp.int32))
+            state = jax.lax.cond(n_kf > 2, run_ba, lambda s: s, state)
+            return state
+
+        self._map_step = _map_step
+
+    def process(self, state: ms.MapState, kf_slot,
                 abort: bool = False) -> ms.MapState:
         """One mapping iteration for a freshly inserted keyframe
         (`LocalMapping::Run` body, `src/LocalMapping.cc:47-112`)."""
-        n_pt = int(state.n_pt)
         if self.recent_start is None:
-            self.recent_start = 0
-        recent = (jnp.arange(state.pt_capacity) >= self.recent_start) & (
-            jnp.arange(state.pt_capacity) < n_pt
+            self.recent_start = jnp.asarray(0, jnp.int32)
+        new_state = self._map_step(
+            state, jnp.asarray(kf_slot, jnp.int32), self.recent_start,
+            jnp.asarray(abort),
         )
-        state = recent_point_culling(state, recent, jnp.asarray(kf_slot),
-                                     self.is_mono)
-        # CreateNewMapPoints over covisible neighbours (LocalMapping.cc:207)
-        if self.triangulate_pair is not None and int(state.n_pt) < state.pt_capacity - 2048:
-            neigh = ms.covisible_keyframes(
-                state, jnp.asarray(kf_slot), self.n_tri_neighbors
-            )
-            import numpy as _np
-
-            for nb in _np.asarray(neigh):
-                if nb < 0:
-                    break
-                state, n_new, pair_ok = self.triangulate_pair(
-                    state, jnp.asarray(kf_slot), jnp.asarray(int(nb))
-                )
-            state = ms.update_connections(state, jnp.asarray(kf_slot))
-        n_kf = int(jnp.sum(state.kf_valid))
-        if n_kf > 2:
-            state = self._ba(state, jnp.asarray(kf_slot), jnp.asarray(abort))
-            if self.enable_culling:
-                state = keyframe_culling(state, jnp.asarray(kf_slot))
         # advance the recent window: points older than ~3 KFs leave
-        self.recent_start = n_pt
-        return state
+        self.recent_start = state.n_pt
+        return new_state

@@ -75,10 +75,6 @@ class SLAMSystem:
             local_th=1.0 if is_mono else 3.0,
             is_mono=is_mono,
         )
-        self.tracker = tracking.Tracker(
-            self.cam, self.builder, self.map, tcfg,
-            n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
-        )
         self.mapper = (
             local_mapping.LocalMapper(
                 self.cam, self.builder.inv_level_sigma2,
@@ -88,6 +84,14 @@ class SLAMSystem:
                 scale_factor=cfg.orb.scale_factor,
             )
             if enable_mapping else None
+        )
+        # the mapper's pass runs INSIDE the fused per-frame device program,
+        # predicated on keyframe creation (see pipeline/fused_step.py) — the
+        # reference's LocalMapping-thread interleaving without host syncs
+        self.tracker = tracking.Tracker(
+            self.cam, self.builder, self.map, tcfg,
+            n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
+            mapper=self.mapper,
         )
         self.loop_closer = None
         if enable_loop_closing and vocabulary is not None:
@@ -110,6 +114,12 @@ class SLAMSystem:
         )
         self.localization_only = False  # ActivateLocalizationMode analogue
         self._shutdown = False
+        if reuse_map_path:
+            # reuse mode starts LOST in localization-only, relocalizing
+            # against the loaded map (System.cc:90, Tracking.cc:167-171)
+            self.localization_only = True
+            self.tracker.state = tracking.LOST
+            self.tracker.disallow_kf = True
 
     # ------ frame entry points (System.cc:261-490) ------
     def track_rgbd(self, image, depth, timestamp: float):
@@ -131,17 +141,26 @@ class SLAMSystem:
         return pose
 
     def _run_backends(self):
-        """Drain the new-keyframe queue through mapping + loop closing (the
-        LocalMapping / LoopClosing thread loop bodies)."""
+        """Drain the new-keyframe queue through the host-side backends.
+
+        Local mapping already ran inside the fused per-frame program; what
+        remains host-mediated is loop closing (the LoopClosing thread body,
+        `src/LoopClosing.cc:58-89`) and, for host-created keyframes (the
+        monocular bootstrap pair), a mapping pass."""
         self.map = self.tracker.map
-        if self.localization_only or self.mapper is None:
+        if self.localization_only:
             self.tracker.new_kf_slots.clear()
+            self.tracker.host_kf_slots.clear()
             return
+        # host-created KFs (monocular bootstrap) still need a mapping pass
+        while self.tracker.host_kf_slots:
+            kf = self.tracker.host_kf_slots.pop(0)
+            if self.mapper is not None:
+                self.map = self.mapper.process(self.map, kf)
+            if self.loop_closer is not None:
+                self.map = self.loop_closer.process(self.map, kf)
         while self.tracker.new_kf_slots:
             kf = self.tracker.new_kf_slots.pop(0)
-            # a newer queued KF aborts the current BA (mbAbortBA semantics)
-            abort = len(self.tracker.new_kf_slots) > 0
-            self.map = self.mapper.process(self.map, kf, abort=abort)
             if self.loop_closer is not None:
                 self.map = self.loop_closer.process(self.map, kf)
         self.tracker.map = self.map
@@ -149,21 +168,35 @@ class SLAMSystem:
     # ------ mode switches (System.cc:433-456,492-533) ------
     def activate_localization_mode(self):
         self.localization_only = True
+        self.tracker.disallow_kf = True
+        if self.tracker.ctrl is not None:
+            self.tracker.flush()
+            self.tracker.ctrl = self.tracker.ctrl._replace(
+                allow_kf=jnp.asarray(False))
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.disallow_kf = False
+        if self.tracker.ctrl is not None:
+            self.tracker.flush()
+            self.tracker.ctrl = self.tracker.ctrl._replace(
+                allow_kf=jnp.asarray(True))
 
     def reset(self):
         """`System::Reset` / `Tracking::Reset` (`src/Tracking.cc:1777-1819`)."""
         cfg = self.cfg
+        self.tracker.flush()
         self.map = ms.empty_map(cfg.max_keyframes, cfg.max_points,
                                 cfg.max_keypoints)
         self.tracker.map = self.map
         self.tracker.state = tracking.NO_IMAGES_YET
-        self.tracker.velocity = None
-        self.tracker.last_pose = None
-        self.tracker.trajectory.clear()
+        self.tracker.ctrl = None
+        self.tracker._trajectory.clear()
         self.tracker.new_kf_slots.clear()
+        self.tracker.host_kf_slots.clear()
+        self.tracker._init_frame = None
+        if self.mapper is not None:
+            self.mapper.recent_start = None
 
     def shutdown(self):
         self._shutdown = True
@@ -177,11 +210,21 @@ class SLAMSystem:
     def load_map(self, path: str | Path):
         from ..io import mapio
 
+        self.tracker.flush()
         self.map = mapio.load_map(path)
         self.tracker.map = self.map
         # reuse mode starts LOST in localization (System.cc:90, Tracking.cc:167-171)
         self.tracker.state = tracking.LOST
         self.localization_only = True
+        self.tracker.disallow_kf = True
+        if self.tracker.ctrl is not None:
+            from . import fused_step
+
+            self.tracker.ctrl = self.tracker.ctrl._replace(
+                mode=jnp.asarray(fused_step.MODE_LOST, jnp.int32),
+                allow_kf=jnp.asarray(False),
+                has_velocity=jnp.asarray(False),
+            )
 
     # ------ trajectory export (System.cc:675-836) ------
     def save_camera_trajectory(self, path: str | Path):

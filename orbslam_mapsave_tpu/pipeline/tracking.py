@@ -72,11 +72,10 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         )
         feat = jnp.arange(frame.kp_xy.shape[0], dtype=jnp.int32)
         state = ms.add_observations(state, kf, slots, feat, has_depth)
-        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
-            slots >= 0
-        )
-        state = ms.compute_distinctive_descriptors(state, pmask)
-        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.compute_distinctive_descriptors_idx(
+            state, jnp.clip(slots, 0), slots >= 0)
+        state = ms.update_normal_and_depth_idx(
+            state, jnp.clip(slots, 0), slots >= 0, scale_factors, n_levels)
         state = ms.update_connections(state, kf)
         matched = jnp.where(has_depth, slots, -1)
         return state, kf, matched, jnp.sum(has_depth.astype(jnp.int32))
@@ -243,11 +242,10 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         p_world = se3.transform_points(Twc, p_cam)
         state, slots = ms.add_points(state, p_world, frame.desc, kf, kf, need_new)
         state = ms.add_observations(state, kf, slots, feat, need_new)
-        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
-            slots >= 0
-        )
-        state = ms.compute_distinctive_descriptors(state, pmask)
-        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.compute_distinctive_descriptors_idx(
+            state, jnp.clip(slots, 0), slots >= 0)
+        state = ms.update_normal_and_depth_idx(
+            state, jnp.clip(slots, 0), slots >= 0, scale_factors, n_levels)
         state = ms.update_connections(state, kf)
         matched = jnp.where(need_new, slots, matched_pt)
         return state, kf, matched
@@ -292,8 +290,10 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
             slots >= 0
         )
-        state = ms.compute_distinctive_descriptors(state, pmask)
-        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
+        state = ms.compute_distinctive_descriptors_idx(
+            state, jnp.clip(slots, 0), slots >= 0)
+        state = ms.update_normal_and_depth_idx(
+            state, jnp.clip(slots, 0), slots >= 0, scale_factors, n_levels)
         state = ms.update_connections(state, kf1)
         state = ms.update_connections(state, kf2)
         # median scene depth of KF1 for scale normalization (Tracking.cc:934-960)
@@ -358,56 +358,150 @@ class TrackerConfig:
 
 
 class Tracker:
-    """Host state machine over the jitted steps (replaces the Tracking
-    thread's member state, `include/Tracking.h:85-228`)."""
+    """Host driver over the fused device step (replaces the Tracking
+    thread's member state, `include/Tracking.h:85-228`).
+
+    Steady state enqueues ONE device program per frame
+    (`fused_step.make_fused_step`) and fetches `StepOutcome` records in
+    batches of `fetch_every` — on remote-attached TPU a single host sync
+    costs tens of milliseconds, so the per-frame `int(...)` branching of a
+    literal translation would dominate the frame budget. Host-mediated
+    paths: monocular bootstrap and relocalization (both rare)."""
 
     def __init__(self, cam: projection.Camera, builder: frame_mod.FrameBuilder,
                  state: ms.MapState, cfg: TrackerConfig,
-                 n_levels: int = 4, scale_factor: float = 1.5):
+                 n_levels: int = 4, scale_factor: float = 1.5,
+                 mapper=None, fetch_every: int = 4):
+        from . import fused_step
+
         self.cam = cam
         self.builder = builder
         self.map = state
         self.cfg = cfg
         self.k = make_tracking_kernels(cam, builder, n_levels, scale_factor)
-        self.state = NO_IMAGES_YET
-        self.velocity: np.ndarray | None = None
-        self.last_pose: np.ndarray | None = None
+        self.step = fused_step.make_fused_step(
+            cam, builder, n_levels, scale_factor, cfg, mapper)
+        self.fetch_every = fetch_every
+        self.ctrl: fused_step.ControlState | None = None
+        self.state = NO_IMAGES_YET  # host view (may lag the device by a batch)
         self.last_frame: frame_mod.FrameData | None = None
-        self.last_matched = None
         self.ref_kf = 0
         self.frame_id = 0
-        self.last_kf_frame_id = 0
-        self.new_kf_slots: list[int] = []  # queue for local mapping
+        self.new_kf_slots: list[int] = []  # loop-closing queue (host view)
+        self.host_kf_slots: list[int] = []  # KFs created on the host (mono init)
+        self.disallow_kf = False  # localization-only mode (no KF creation)
         self.relocalizer = None  # set by SLAMSystem when a vocabulary exists
         self._init_frame = None  # mono initializer reference frame
-        # trajectory records (host): (timestamp, Tcw, lost)
-        self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+        self._pending: list[tuple[float, object]] = []  # (t, StepOutcome)
+        self._trajectory: list[tuple[float, np.ndarray, bool]] = []
         self.n_inliers = 0
 
-    # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
-    def track_rgbd(self, image, depth, timestamp: float) -> np.ndarray | None:
-        fr = self.builder.build(image, timestamp, depth)
-        pose = self._track(fr)
+    # ---- deferred outcome handling ----------------------------------
+    @property
+    def trajectory(self) -> list[tuple[float, np.ndarray, bool]]:
+        self.flush()
+        return self._trajectory
+
+    def flush(self):
+        """Fetch all pending step outcomes in one batched transfer."""
+        if not self._pending:
+            return
+        ts = [t for t, _ in self._pending]
+        outs = jax.device_get([o for _, o in self._pending])
+        self._pending.clear()
+        from . import fused_step
+
+        for t, out in zip(ts, outs):
+            lost = int(out.mode) != fused_step.MODE_OK
+            self._trajectory.append(
+                (t, np.asarray(out.pose), lost)
+            )
+            if bool(out.kf_created):
+                self.new_kf_slots.append(int(out.kf_slot))
+            self.n_inliers = int(out.n_inliers)
+        last = outs[-1]
+        mode = int(last.mode)
+        self.state = {1: NOT_INITIALIZED, 2: OK, 3: LOST}.get(mode, mode)
+
+    def _ensure_ctrl(self, fr: frame_mod.FrameData):
+        if self.ctrl is None:
+            from . import fused_step
+
+            self.ctrl = fused_step.initial_control_state(
+                fr.kp_xy.shape[0], fr)
+            if self.state == LOST:  # reuse mode: relocalize vs loaded map
+                self.ctrl = self.ctrl._replace(
+                    mode=jnp.asarray(fused_step.MODE_LOST, jnp.int32))
+            if getattr(self, "disallow_kf", False):
+                self.ctrl = self.ctrl._replace(allow_kf=jnp.asarray(False))
+
+    def _enqueue(self, fr: frame_mod.FrameData, t: float):
+        self.map, self.ctrl, out = self.step(self.map, self.ctrl, fr)
+        self._pending.append((t, out))
+        self.last_frame = fr
         self.frame_id += 1
-        return pose
+        if len(self._pending) >= self.fetch_every:
+            self.flush()
+            if self.state == LOST:
+                self._host_relocalize(fr, t)
+        return out.pose
+
+    def _host_relocalize(self, fr: frame_mod.FrameData, t: float):
+        """Relocalization on the most recent frame
+        (`Tracking::Relocalization`, `src/Tracking.cc:1601-1775`). The
+        reference retries every frame while lost; the batched host view
+        retries every `fetch_every` frames."""
+        from . import fused_step
+
+        pose = None
+        matched = None
+        if self.relocalizer is not None:
+            out = self.relocalizer.relocalize(
+                self.map, fr, self.k["optimize_pose"], self.frame_id)
+            if out is not None:
+                pose, matched, _ = out
+        if pose is None:  # fallback: reference-KF matching retry
+            matched, n = self.k["track_ref_kf"](
+                self.map, fr, jnp.asarray(self.ref_kf, jnp.int32))
+            if int(n) >= 15:
+                p2, matched, n_inl = self.k["optimize_pose"](
+                    self.map, fr, self.ctrl.pose, matched)
+                if int(n_inl) >= 10:
+                    pose = p2
+        if pose is not None:
+            self.ctrl = self.ctrl._replace(
+                mode=jnp.asarray(fused_step.MODE_OK, jnp.int32),
+                pose=jnp.asarray(pose, jnp.float32),
+                has_velocity=jnp.asarray(False),
+                last_matched=jnp.asarray(matched, jnp.int32),
+            )
+            self.state = OK
+
+    # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
+    def track_rgbd(self, image, depth, timestamp: float):
+        fr = self.builder.build(image, timestamp, depth)
+        self._ensure_ctrl(fr)
+        return self._enqueue(fr, float(timestamp))
 
     # -- monocular entry (GrabImageMonocular, Tracking.cc:405-441) ---------
-    def track_monocular(self, image, timestamp: float) -> np.ndarray | None:
+    def track_monocular(self, image, timestamp: float):
         fr = self.builder.build(image, timestamp)
+        self._ensure_ctrl(fr)
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             pose = self._mono_initialize(fr)
-        else:
-            pose = self._track(fr)
-        self.frame_id += 1
-        return pose
+            self.frame_id += 1
+            return pose
+        return self._enqueue(fr, float(timestamp))
 
     def _mono_initialize(self, fr: frame_mod.FrameData) -> np.ndarray | None:
         """`Tracking::MonocularInitialization` (`src/Tracking.cc:804-880`) +
-        `CreateInitialMapMonocular` (`:882-984`)."""
+        `CreateInitialMapMonocular` (`:882-984`). Host-mediated: it happens
+        once, so its scalar branching cost is irrelevant."""
         import jax as _jax
 
         t = float(fr.timestamp)
         n_feat = int(jnp.sum(fr.valid))
+        self.last_frame = fr
         if getattr(self, "_init_frame", None) is None:
             if n_feat > 100:  # Tracking.cc:809
                 self._init_frame = fr
@@ -455,163 +549,24 @@ class Tracker:
         self.state = OK
         self.ref_kf = int(kf2)
         pose = np.asarray(self.map.kf_pose[kf2])
-        self.last_pose = pose
-        self.last_frame = fr
-        self.last_matched = matched2
-        self.new_kf_slots += [int(kf1), int(kf2)]
-        self.last_kf_frame_id = self.frame_id
+        self.host_kf_slots += [int(kf1), int(kf2)]
         self._init_frame = None
+        from . import fused_step
+
+        self.ctrl = self.ctrl._replace(
+            mode=jnp.asarray(fused_step.MODE_OK, jnp.int32),
+            pose=jnp.asarray(pose, jnp.float32),
+            has_velocity=jnp.asarray(False),
+            ref_kf=jnp.asarray(int(kf2), jnp.int32),
+            frame_id=jnp.asarray(self.frame_id + 1, jnp.int32),
+            last_kf_frame_id=jnp.asarray(self.frame_id, jnp.int32),
+            last_matched=jnp.asarray(matched2, jnp.int32),
+            last_frame=fr,
+        )
         self._record(pose, False, t)
         return pose
 
     def _record(self, pose_cw, lost: bool, t: float):
-        self.trajectory.append(
+        self._trajectory.append(
             (t, np.asarray(pose_cw) if pose_cw is not None else np.eye(4), lost)
         )
-
-    def _track(self, fr: frame_mod.FrameData) -> np.ndarray | None:
-        t = float(fr.timestamp)
-        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            n_feat = int(jnp.sum(fr.valid))
-            if n_feat < self.cfg.min_init_features:
-                self.state = NOT_INITIALIZED
-                self._record(None, True, t)
-                return None
-            self.map, kf, matched, n_pts = self.k["init_rgbd"](
-                self.map, fr, self.frame_id
-            )
-            self.state = OK
-            self.ref_kf = int(kf)
-            self.last_pose = np.eye(4, dtype=np.float32)
-            self.last_frame = fr
-            self.last_matched = matched
-            self.new_kf_slots.append(int(kf))
-            self.last_kf_frame_id = self.frame_id
-            self._record(np.eye(4), False, t)
-            return np.eye(4)
-
-        # ---- OK / LOST ----
-        pose = None
-        matched = None
-        if self.state == OK:
-            if self.velocity is not None:
-                pose_pred = jnp.asarray(self.velocity @ self.last_pose)
-                matched, n = self.k["track_motion"](
-                    self.map, fr, pose_pred, self.last_matched,
-                    self.last_frame, jnp.asarray(self.cfg.motion_th),
-                )
-                if int(n) < 20:  # widen once (Tracking.cc:1141-1147)
-                    matched, n = self.k["track_motion"](
-                        self.map, fr, pose_pred, self.last_matched,
-                        self.last_frame, jnp.asarray(2 * self.cfg.motion_th),
-                    )
-                if int(n) >= 20:
-                    pose, matched, n_inl = self.k["optimize_pose"](
-                        self.map, fr, pose_pred, matched
-                    )
-                    if int(n_inl) < 10:
-                        pose = None
-            if pose is None:  # fall back to reference-KF tracking
-                matched, n = self.k["track_ref_kf"](self.map, fr, self.ref_kf)
-                if int(n) >= 15:  # Tracking.cc:1013
-                    pose, matched, n_inl = self.k["optimize_pose"](
-                        self.map, fr, jnp.asarray(self.last_pose), matched
-                    )
-                    if int(n_inl) < 10:
-                        pose = None
-        else:  # LOST -> Relocalization (Tracking.cc:1601-1775)
-            if self.relocalizer is not None:
-                out = self.relocalizer.relocalize(
-                    self.map, fr, self.k["optimize_pose"], self.frame_id
-                )
-                if out is not None:
-                    pose, matched, _ = out
-                    pose = jnp.asarray(pose)
-            if pose is None:  # fallback: refKF matching retry
-                matched, n = self.k["track_ref_kf"](self.map, fr, self.ref_kf)
-                if int(n) >= 15:
-                    pose, matched, n_inl = self.k["optimize_pose"](
-                        self.map, fr, jnp.asarray(self.last_pose), matched
-                    )
-                    if int(n_inl) < 10:
-                        pose = None
-
-        if pose is None:
-            self.state = LOST
-            self._record(None, True, t)
-            self.velocity = None
-            return None
-
-        # ---- local map tracking ----
-        local_idx, ref_kf = self.k["gather_local_map"](self.map, matched)
-        self.map, pose, matched, n_inl = self.k["track_local_map"](
-            self.map, fr, pose, matched, local_idx,
-            jnp.asarray(self.cfg.local_th),
-        )
-        self.n_inliers = int(n_inl)
-        self.ref_kf = int(ref_kf)
-        if self.n_inliers < 30:  # Tracking.cc:1213-1219
-            self.state = LOST
-            self._record(None, True, t)
-            self.velocity = None
-            return None
-
-        self.state = OK
-        pose_np = np.asarray(pose)
-        # velocity (Tracking.cc:667-674)
-        if self.last_pose is not None:
-            self.velocity = pose_np @ np.asarray(
-                se3.se3_inv(jnp.asarray(self.last_pose))
-            )
-        # keyframe decision
-        if self._need_new_keyframe(fr, matched):
-            if self.cfg.is_mono:
-                self.map, kf = self.k["create_keyframe_mono"](
-                    self.map, fr, pose, matched, self.frame_id
-                )
-            else:
-                close_th = jnp.asarray(self.cfg.th_depth, jnp.float32)
-                self.map, kf, matched = self.k["create_keyframe_rgbd"](
-                    self.map, fr, pose, matched, self.frame_id, close_th
-                )
-            self.new_kf_slots.append(int(kf))
-            self.last_kf_frame_id = self.frame_id
-            self.ref_kf = int(kf)
-
-        self.last_pose = pose_np
-        self.last_frame = fr
-        self.last_matched = matched
-        self._record(pose_np, False, t)
-        return pose_np
-
-    def _need_new_keyframe(self, fr: frame_mod.FrameData, matched) -> bool:
-        """`Tracking::NeedNewKeyFrame` (`src/Tracking.cc:1224-1321`), RGB-D
-        branch with the reference's ratios."""
-        if int(self.map.n_kf) >= self.map.kf_capacity - 1:
-            return False
-        # tracked-close / need-close counts (Tracking.cc:1253-1266)
-        if self.cfg.is_mono:
-            need_close = False
-        else:
-            depth = np.asarray(fr.kp_depth)
-            valid = np.asarray(fr.valid)
-            m = np.asarray(matched)
-            close = valid & (depth > 0) & (depth < self.cfg.th_depth)
-            tracked_close = int((close & (m >= 0)).sum())
-            nontracked_close = int((close & (m < 0)).sum())
-            need_close = tracked_close < 100 and nontracked_close > 70
-        n_kfs = int(jnp.sum(self.map.kf_valid))
-        # thRefRatio: mono 0.9; 0.4 if map has <2 KFs (Tracking.cc:1277-1283)
-        th_ref = 0.9 if self.cfg.is_mono else 0.75
-        if n_kfs < 2:
-            th_ref = 0.4
-        ref_matches = int(
-            jnp.sum((self.map.kf_kp_point[self.ref_kf] >= 0)
-                    & self.map.kf_kp_valid[self.ref_kf])
-        )
-        c1a = self.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
-        c1b = self.frame_id >= self.last_kf_frame_id + self.cfg.min_frames
-        c1c = self.n_inliers < ref_matches * 0.25 or need_close
-        c2 = (self.n_inliers < ref_matches * th_ref or need_close) and \
-            self.n_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)

@@ -39,10 +39,11 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
                       scale_factor: float, is_mono: bool):
     ratio_factor = 1.5 * scale_factor  # LocalMapping.cc:298
 
-    @jax.jit
-    def triangulate_pair(state: ms.MapState, kf1, kf2):
-        """Create new points between kf1 (current) and kf2 (neighbour).
-        Returns updated state and number of new points."""
+    def triangulate_core(state: ms.MapState, kf1, kf2, enabled=True):
+        """Create new points between kf1 (current) and kf2 (neighbour),
+        WITHOUT the distinctive-descriptor / normal finalization (callers
+        batch that over all pairs — `finalize_new_points`).
+        Returns (state, slots (N,) i32 new-point slots or -1, pair_ok)."""
         T1 = state.kf_pose[kf1]
         T2 = state.kf_pose[kf2]
         O1 = se3.se3_inv(T1)[:3, 3]
@@ -150,30 +151,56 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
         ok = ok & (ratio_dist < ratio_oct * ratio_factor) & (
             ratio_dist * ratio_factor > ratio_oct
         ) & (dist1 > 0) & (dist2 > 0)
-        ok = ok & pair_ok
+        ok = ok & pair_ok & enabled
 
         # create points with both observations
         state, slots = ms.add_points(state, X, state.kf_desc[kf1], kf1, kf1, ok)
         feat1 = jnp.arange(xy1.shape[0], dtype=jnp.int32)
         state = ms.add_observations(state, kf1, slots, feat1, ok)
         state = ms.add_observations(state, kf2, slots, m2, ok)
+        return state, slots, pair_ok
+
+    def finalize_new_points(state: ms.MapState, pmask: jax.Array,
+                            cap: int = 8192):
+        """Distinctive descriptors + normals/scale bands for the union of
+        freshly created points (compacted to at most `cap` slots)."""
+        (idx,) = jnp.nonzero(pmask, size=cap, fill_value=state.pt_capacity)
+        ok = idx < state.pt_capacity
+        idx = jnp.where(ok, idx, 0).astype(jnp.int32)
+        state = ms.compute_distinctive_descriptors_idx(state, idx, ok)
+        state = ms.update_normal_and_depth_idx(state, idx, ok,
+                                               scale_factors, n_levels)
+        return state
+
+    @jax.jit
+    def triangulate_pair(state: ms.MapState, kf1, kf2):
+        """Single-pair variant (core + finalize); kept for callers that
+        triangulate one neighbour at a time."""
+        state, slots, pair_ok = triangulate_core(state, kf1, kf2)
         pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
             slots >= 0
         )
-        state = ms.compute_distinctive_descriptors(state, pmask)
-        state = ms.update_normal_and_depth(state, pmask, scale_factors, n_levels)
-        n_new = jnp.sum(ok.astype(jnp.int32))
+        state = finalize_new_points(state, pmask)
+        n_new = jnp.sum((slots >= 0).astype(jnp.int32))
         return state, n_new, pair_ok
 
-    def _median_scene_depth(state: ms.MapState, kf, cam_):
-        """`KeyFrame::ComputeSceneMedianDepth` (`src/KeyFrame.cc:1375`)."""
-        pts = state.kf_kp_point[kf]
-        ok = pts >= 0
-        pos = state.pt_pos[jnp.clip(pts, 0)]
-        z = se3.transform_points(state.kf_pose[kf], pos)[:, 2]
-        z = jnp.where(ok, z, jnp.inf)
-        zs = jnp.sort(z)
-        n = jnp.sum(ok.astype(jnp.int32))
-        return zs[jnp.clip((n - 1) // 2, 0)]
+    class _Triangulator:
+        core = staticmethod(triangulate_core)
+        finalize = staticmethod(finalize_new_points)
 
-    return triangulate_pair
+        def __call__(self, state, kf1, kf2):
+            return triangulate_pair(state, kf1, kf2)
+
+    return _Triangulator()
+
+
+def _median_scene_depth(state: ms.MapState, kf, cam_):
+    """`KeyFrame::ComputeSceneMedianDepth` (`src/KeyFrame.cc:1375`)."""
+    pts = state.kf_kp_point[kf]
+    ok = pts >= 0
+    pos = state.pt_pos[jnp.clip(pts, 0)]
+    z = se3.transform_points(state.kf_pose[kf], pos)[:, 2]
+    z = jnp.where(ok, z, jnp.inf)
+    zs = jnp.sort(z)
+    n = jnp.sum(ok.astype(jnp.int32))
+    return zs[jnp.clip((n - 1) // 2, 0)]

@@ -8,7 +8,15 @@ from scipy.spatial.transform import Rotation
 
 from orbslam_mapsave_tpu.geometry import projection, se3
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64_mode():
+    """f64 golden comparisons need x64 — but the flag is process-global and
+    leaks into later test modules (f32 pipelines then fail lax.cond/switch
+    branch typing), so enable it only for this module."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def random_rotvecs(rng, n, scale=2.5):
