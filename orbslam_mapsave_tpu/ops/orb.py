@@ -277,47 +277,75 @@ def detect_level(spec: ORBSpec, ls: LevelSpec, padded: jax.Array):
     return xy, topv.reshape(-1)
 
 
+def ic_moment_maps(padded: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(m10, m01) of the circular IC patch centered at EVERY pixel.
+
+    TPU formulation of `IC_Angle` (`src/ORBextractor.cc:76-103`): a naive
+    per-keypoint 31x31 patch gather costs C*961 random reads and a dense
+    31x31 conv lowers terribly for 1-channel images; instead build row
+    prefix sums once and reduce each circle row as a prefix-sum difference —
+    31 shifted element-wise passes over the level, all VPU work:
+
+        sum_{u=-m..m} I(y+v, x+u)       = S1(y+v, x+m) - S1(y+v, x-m-1)
+        sum_{u=-m..m} u * I(y+v, x+u)   = [Sx diff] - x * [S1 diff]
+
+    with m = umax(|v|) per circle row. Wrap-around from the rolls only
+    contaminates a border strip well inside the EDGE padding (keypoints are
+    >= minBorder from the level edge).
+    """
+    x_coords = jnp.arange(padded.shape[1], dtype=padded.dtype)
+    S1 = jnp.cumsum(padded, axis=1)
+    Sx = jnp.cumsum(padded * x_coords[None, :], axis=1)
+    m10 = jnp.zeros_like(padded)
+    m01 = jnp.zeros_like(padded)
+    for dv in range(-HALF_PATCH, HALF_PATCH + 1):
+        m = int(_UMAX[abs(dv)])
+        S1d = jnp.roll(S1, -dv, axis=0)
+        Sxd = jnp.roll(Sx, -dv, axis=0)
+        sum1 = jnp.roll(S1d, -m, axis=1) - jnp.roll(S1d, m + 1, axis=1)
+        sumx = jnp.roll(Sxd, -m, axis=1) - jnp.roll(Sxd, m + 1, axis=1)
+        m10 = m10 + (sumx - x_coords[None, :] * sum1)
+        m01 = m01 + dv * sum1
+    return m10, m01
+
+
 def ic_angles(padded: jax.Array, xy: jax.Array) -> jax.Array:
     """Intensity-centroid angles in degrees for level-coord keypoints (C,2).
 
     `IC_Angle` parity (`src/ORBextractor.cc:76-103`): moments over the
-    radius-15 circular patch with _UMAX extents; angle = atan2(m01, m10).
-    """
-    hp = PATCH_SIZE  # 31
-    h, w = padded.shape
-    base_y = xy[:, 1] + EDGE - HALF_PATCH
-    base_x = xy[:, 0] + EDGE - HALF_PATCH
-    dy = jnp.arange(hp)
-    rows = base_y[:, None] + dy[None, :]  # (C,31)
-    cols = base_x[:, None] + dy[None, :]
-    flat = padded.reshape(-1)
-    idx = rows[:, :, None] * w + cols[:, None, :]
-    patches = flat[idx.reshape(xy.shape[0], -1)].reshape(-1, hp, hp)
-    mask = jnp.asarray(_IC_MASK, dtype=padded.dtype)
-    coords = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=padded.dtype)
-    pm = patches * mask
-    hi = jax.lax.Precision.HIGHEST
-    m10 = jnp.einsum("nij,j->n", pm, coords, precision=hi)
-    m01 = jnp.einsum("nij,i->n", pm, coords, precision=hi)
+    radius-15 circular patch with _UMAX extents; angle = atan2(m01, m10),
+    via whole-level moment maps (`ic_moment_maps`) + a 2-value read per
+    keypoint."""
+    m10_map, m01_map = ic_moment_maps(padded)
+    yy = xy[:, 1] + EDGE
+    xx = xy[:, 0] + EDGE
+    m10 = m10_map[yy, xx]
+    m01 = m01_map[yy, xx]
     ang = jnp.degrees(jnp.arctan2(m01, m10))
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 
 def gaussian_blur7(padded: jax.Array) -> jax.Array:
-    """Separable 7x7 sigma-2 Gaussian (descriptor image, ORBextractor.cc:1089)."""
-    k = jnp.asarray(_BLUR_K)
-    img = padded[None, None]  # NCHW
-    kv = k.reshape(1, 1, 7, 1)
-    kh = k.reshape(1, 1, 1, 7)
-    # HIGHEST precision: default conv precision truncates to bf16, which
-    # perturbs the BRIEF t0<t1 comparisons (descriptor parity).
-    out = jax.lax.conv_general_dilated(
-        img, kv, (1, 1), [(3, 3), (0, 0)], precision=jax.lax.Precision.HIGHEST
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kh, (1, 1), [(0, 0), (3, 3)], precision=jax.lax.Precision.HIGHEST
-    )
-    return out[0, 0]
+    """Separable 7x7 sigma-2 Gaussian (descriptor image, ORBextractor.cc:1089).
+
+    Implemented as weighted shift-adds (pure VPU element-wise f32 math) —
+    a 1-channel XLA conv is MXU-hostile and, at HIGHEST precision, was
+    ~12ms/frame; the shifted adds are exact f32 FMAs and effectively free.
+    Shifts clamp at the array edge (the affected band lies inside the
+    EDGE=19 padding, outside any descriptor sample).
+    """
+    k = _BLUR_K  # numpy (7,)
+    h, w = padded.shape
+
+    def pass1d(img, axis):
+        out = k[3] * img
+        for d in (1, 2, 3):
+            lo = jnp.roll(img, d, axis=axis)
+            hi = jnp.roll(img, -d, axis=axis)
+            out = out + k[3 - d] * lo + k[3 + d] * hi
+        return out
+
+    return pass1d(pass1d(padded, 0), 1)
 
 
 def brief_descriptors(blurred: jax.Array, xy: jax.Array, angles_deg: jax.Array

@@ -377,10 +377,13 @@ def local_bundle_adjustment(cam: projection.Camera, prob: BAProblem,
     if abort is None:
         abort = jnp.asarray(False)
 
-    poses_b, pts_b, _ = _run_phase(cam, poses, pts, prob, e, active,
+    def phase_b(args):
+        poses, pts = args
+        poses, pts, _ = _run_phase(cam, poses, pts, prob, e, active,
                                    jnp.asarray(False), n_iters_b, lam0)
-    poses = jnp.where(abort, poses, poses_b)
-    pts = jnp.where(abort, pts, pts_b)
+        return poses, pts
+
+    poses, pts = jax.lax.cond(abort, lambda a: a, phase_b, (poses, pts))
 
     _, _, _, chi2, ok_z, is_st = _edge_terms_e(cam, poses, pts, e, e.ok)
     inlier_e = e.ok & ok_z & (

@@ -202,10 +202,16 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         recent_start = ctrl.recent_start
         if mapper is not None:
             n_pt_before = state3.n_pt
+            # mbAbortBA analogue (`src/LocalMapping.cc:118`,
+            # `src/Optimizer.cc:517-518`): in the reference, a keyframe
+            # arriving while local BA runs aborts it after the current
+            # round. Keyframes spaced <= 2 frames apart imply exactly that
+            # pressure, so truncate BA to its first phase for them.
+            abort_ba = (ctrl.frame_id - ctrl.last_kf_frame_id) <= 2
 
             def run_map(st):
                 return mapper._map_step(
-                    st, kf_slot, ctrl.recent_start, jnp.asarray(False))
+                    st, kf_slot, ctrl.recent_start, abort_ba)
 
             state3 = jax.lax.cond(do_kf, run_map, lambda st: st, state3)
             recent_start = jnp.where(do_kf, n_pt_before, recent_start)

@@ -173,7 +173,10 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
         jnp.where(l_ok[:, None], res.pt_pos, state.pt_pos[safe_l])
     )
     state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
-    # erase outlier observations: forward pointers -> -1
+    # erase outlier observations (forward AND reverse pointers). The BA
+    # problem's O-lanes ARE pt_obs lanes, so the reverse erase is a direct
+    # (point, lane) scatter — lane holes are fine: add_observations fills
+    # the first free lane and every consumer masks on obs_kf >= 0.
     out = prob.obs_valid & ~res.obs_inlier  # (L,O)
     o_kf = state.pt_obs_kf[safe_l]
     o_ix = state.pt_obs_idx[safe_l]
@@ -182,8 +185,13 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
         jnp.where(out, o_kf, K - 1), jnp.clip(o_ix, 0)
     ].set(jnp.where(out, -1, state.kf_kp_point[jnp.where(out, o_kf, K - 1),
                                                jnp.clip(o_ix, 0)]), mode="drop")
-    state = state._replace(kf_kp_point=fwd)
-    return ms.rebuild_observations(state)
+    lanes = jnp.broadcast_to(jnp.arange(out.shape[1]), out.shape)
+    pt_obs_kf = state.pt_obs_kf.at[safe_l[:, None], lanes].set(
+        jnp.where(out, -1, o_kf), mode="drop")
+    pt_obs_idx = state.pt_obs_idx.at[safe_l[:, None], lanes].set(
+        jnp.where(out, -1, o_ix), mode="drop")
+    return state._replace(kf_kp_point=fwd, pt_obs_kf=pt_obs_kf,
+                          pt_obs_idx=pt_obs_idx)
 
 
 @jax.jit
@@ -232,15 +240,27 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     pp = jnp.where(parent >= 0, parent, 0)
     parent_is_culled = (parent >= 0) & cull[pp]
     new_parent = jnp.where(parent_is_culled, state.kf_parent[pp], parent)
-    # remove culled KFs' observations from points
+    # remove culled KFs' observations: forward rows zeroed; reverse lanes
+    # cleared elementwise (no rebuild — lane holes are tolerated everywhere)
     fwd = jnp.where(cull[:, None], -1, state.kf_kp_point)
+    obs_culled = (state.pt_obs_kf >= 0) & cull[jnp.clip(state.pt_obs_kf, 0)]
     state = state._replace(
         kf_valid=state.kf_valid & ~cull,
         kf_kp_point=fwd,
         kf_parent=new_parent,
         covis=jnp.where(cull[:, None] | cull[None, :], 0, state.covis),
+        pt_obs_kf=jnp.where(obs_culled, -1, state.pt_obs_kf),
+        pt_obs_idx=jnp.where(obs_culled, -1, state.pt_obs_idx),
     )
-    return ms.rebuild_observations(state)
+    # points whose reference KF was culled re-anchor to their first
+    # surviving observer (`MapPoint` keeps mpRefKF alive in the reference
+    # by reassigning on erase)
+    ref_culled = (state.pt_ref_kf >= 0) & cull[jnp.clip(state.pt_ref_kf, 0)]
+    has_obs = (state.pt_obs_kf >= 0).any(-1)
+    first_lane = jnp.argmax(state.pt_obs_kf >= 0, axis=-1)
+    fallback = state.pt_obs_kf[jnp.arange(state.pt_capacity), first_lane]
+    new_ref = jnp.where(ref_culled & has_obs, fallback, state.pt_ref_kf)
+    return state._replace(pt_ref_kf=new_ref)
 
 
 class LocalMapper:

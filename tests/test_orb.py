@@ -69,7 +69,10 @@ def test_ic_angle_matches_numpy(test_image):
     for i, (x, y) in enumerate(pts):
         expect = _numpy_ic_angle(padded, x, y)
         diff = abs(((ours[i] - expect) + 180) % 360 - 180)
-        assert diff < 1e-3, (i, ours[i], expect)
+        # 1e-2 deg: the prefix-sum moment formulation accumulates f32
+        # rounding ~1e-3 deg; BRIEF sampling would need ~0.1 deg to move a
+        # rounded sample and rotation-histogram bins are 12 deg wide.
+        assert diff < 1e-2, (i, ours[i], expect)
 
 
 def _numpy_brief(blurred_padded, x, y, angle_deg):
