@@ -31,19 +31,23 @@ def get_sequence():
     import pickle
 
     CACHE.mkdir(exist_ok=True)
-    f = CACHE / f"seq_{W}x{H}_{N_FRAMES}.pkl"
+    f = CACHE / f"seq_{W}x{H}_{N_FRAMES}_v2.pkl"
     if f.exists():
         with open(f, "rb") as fh:
             return pickle.load(fh)
     from orbslam_mapsave_tpu.io import synthetic
 
     K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1.0]])
-    poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.5, yaw_range=0.5)
+    poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.35, yaw_range=0.3)
     room = synthetic.BoxRoom(half_size=2.0, seed=11)
     frames = []
     for i in range(N_FRAMES):
         gray, depth = room.render(K, poses[i], W, H)
-        frames.append((gray, depth))
+        # storage dtypes = what a sensor delivers (u8 image, f16 depth);
+        # the frame builder converts on device — 4x less host->device
+        # transfer on the tunnel-attached chip
+        frames.append((np.clip(gray, 0, 255).astype(np.uint8),
+                       depth.astype(np.float16)))
     data = {"K": K, "poses": poses, "frames": frames}
     with open(f, "wb") as fh:
         pickle.dump(data, fh)

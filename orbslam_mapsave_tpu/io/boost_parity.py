@@ -425,6 +425,9 @@ def load_boost_map(path: str | Path, max_keyframes: int = 512,
         for lane, (kf, ix) in enumerate(pt["obs"][: ms.MAX_OBS]):
             state_np["pt_obs_kf"][p, lane] = kf
             state_np["pt_obs_idx"][p, lane] = ix
+            state_np["pt_obs_oct"][p, lane] = np.int8(
+                state_np["kf_kp_octave"][kf, ix]
+            )
     state_np["n_kf"] = np.int32(max((kf["id"] for kf in kfs), default=-1) + 1)
     state_np["n_pt"] = np.int32(max((pt["id"] for pt in points), default=-1) + 1)
     import jax

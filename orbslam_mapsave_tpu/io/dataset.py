@@ -8,9 +8,10 @@ Mirrors the reference's dataset entry points:
 - Live-source mains (`Monocular.cc` V4L, `RGBD_RTSP.cpp`) are covered by
   `ImageDirSource`, the offline equivalent.
 
-Images load as float32 grayscale in [0,255] (the pipeline, like the
-reference, extracts ORB on 8-bit grayscale; we keep float32 for the TPU path
-and round at the FAST comparisons).
+Images load in STORAGE dtype — uint8 grayscale, float16 depth-in-meters —
+and the frame builder converts to float32 on device: on remote-attached TPU
+the host->device link dominates (a 640x480 f32 pair costs ~44ms to ship,
+u8+f16 ~11ms).
 """
 
 from __future__ import annotations
@@ -37,19 +38,20 @@ def _imread_gray(path: str | Path) -> np.ndarray:
         img = img.convert("L")
     arr = np.asarray(img)
     if arr.dtype == np.uint16 or arr.dtype == np.int32:
-        return arr.astype(np.float32)
-    return arr.astype(np.float32)
+        return (arr >> 8).astype(np.uint8)
+    return arr.astype(np.uint8)
 
 
 def _imread_depth(path: str | Path, depth_factor: float) -> np.ndarray:
     """TUM depth png: uint16, meters = value / DepthMapFactor
-    (`src/Tracking.cc:238-241,379`)."""
+    (`src/Tracking.cc:238-241,379`). Shipped as f16 meters (quantization
+    ~4mm at 4m, below Kinect sensor noise)."""
     from PIL import Image
 
     arr = np.asarray(Image.open(path)).astype(np.float32)
     if depth_factor not in (0.0, 1.0):
         arr = arr / depth_factor
-    return arr
+    return arr.astype(np.float16)
 
 
 def read_tum_list(path: str | Path) -> list[tuple[float, str]]:

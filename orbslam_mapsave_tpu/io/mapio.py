@@ -65,9 +65,20 @@ def load_map(path: str | Path) -> MapState:
                 f"bad map file {path}: version={meta.get('version')!r}"
             )
         fields = {}
+        names = set(zf.namelist())
         for k in MapState._fields:
-            arr = np.load(io.BytesIO(zf.read(f"{k}.npy")))
-            fields[k] = arr
+            if f"{k}.npy" in names:
+                fields[k] = np.load(io.BytesIO(zf.read(f"{k}.npy")))
+            else:
+                fields[k] = None  # filled below for forward-compat fields
+    if fields.get("pt_obs_oct") is None:
+        # maps written before the denormalized octave column: derive it
+        kf_oct = fields["kf_kp_octave"]
+        okf, oix = fields["pt_obs_kf"], fields["pt_obs_idx"]
+        ok = okf >= 0
+        oct_ = np.full(okf.shape, -1, np.int8)
+        oct_[ok] = kf_oct[okf[ok], oix[ok]].astype(np.int8)
+        fields["pt_obs_oct"] = oct_
     state = MapState(**fields)
     return jax.tree.map(jnp.asarray, state)
 

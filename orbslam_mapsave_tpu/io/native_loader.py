@@ -103,7 +103,11 @@ class NativeTUMDataset:
             raise IOError(f"native read_frame({i}) failed: {rc}")
         # keep the pipeline ahead of the consumer
         self._lib.orbtpu_prefetch(self._h, i + 1, self.prefetch_depth)
-        return ts.value, gray, (depth if depth.any() else None)
+        # storage dtypes matching the Python loader: u8 gray + f16 depth —
+        # host->device transfer is the bottleneck on remote-attached TPU
+        gray8 = gray.astype(np.uint8)
+        return ts.value, gray8, (depth.astype(np.float16) if depth.any()
+                                 else None)
 
     def __iter__(self):
         for i in range(len(self)):

@@ -26,13 +26,27 @@ import numpy as np
 from ..geometry import se3 as _se3  # noqa: F401  (kept for API users)
 
 
-def _smooth_noise_texture(rng: np.random.Generator, size: int, octaves: int = 5) -> np.ndarray:
+def _smooth_noise_texture(rng: np.random.Generator, size: int, octaves: int = 4) -> np.ndarray:
     """Band-limited value-noise texture in [0,255] with multi-scale detail
-    (plenty of FAST corners at every pyramid level)."""
+    (plenty of FAST corners at every pyramid level).
+
+    Three constraints make the texture trackable like a real scene:
+    - SMOOTH broadband value noise (distinct local patterns): regular
+      high-contrast cells are locally self-similar, so window searches
+      lock onto matches one cell over and the pose diverges exponentially
+      (measured: terr doubling per frame once the velocity model overshoots
+      half a cell);
+    - the finest octave spans >= size/256 texels (~4px at typical viewing
+      distance): sub-texel noise aliases under perspective resampling and
+      descriptors decorrelate between frames;
+    - a contrast stretch at the end: BRIEF compares pixel pairs, and
+      low-amplitude texture leaves pairs within a gray level of each other,
+      so descriptor bits flip under u8 sensor quantization.
+    """
     tex = np.zeros((size, size), np.float32)
     amp = 1.0
     for o in range(octaves):
-        n = max(2, size >> (octaves - 1 - o))
+        n = min(size // 4, max(2, 32 << o))
         coarse = rng.uniform(0, 1, (n, n)).astype(np.float32)
         # bilinear upsample to full size
         yi = np.linspace(0, n - 1, size)
@@ -49,6 +63,12 @@ def _smooth_noise_texture(rng: np.random.Generator, size: int, octaves: int = 5)
         )
         tex += amp * up
         amp *= 0.55
+    tex -= tex.min()
+    tex /= tex.max()
+    # contrast stretch (see docstring): sigmoid around the median pushes
+    # BRIEF pair differences past the u8 quantization floor while keeping
+    # the broadband (non-repetitive) structure
+    tex = 0.5 + 0.5 * np.tanh(4.0 * (tex - np.median(tex)))
     tex -= tex.min()
     tex /= tex.max()
     return (tex * 255.0).astype(np.float32)
@@ -116,10 +136,14 @@ class BoxRoom:
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.5, height: float = 0.0,
-                     yaw_range: float = 0.6, half_size: float = 2.0) -> np.ndarray:
+                     yaw_range: float = 0.6, half_size: float = 2.0,
+                     forward: float = 0.12) -> np.ndarray:
     """Smooth Twc trajectory inside the box: lateral arc + slow yaw.
 
     Returns (N,4,4) camera->world poses looking roughly at the +z face.
+    `forward` bounds the approach toward the viewed face: large approach +
+    yaw walks the view off the initial footprint faster than a 40-frame
+    no-loop-closure run can refresh its map.
     """
     poses = np.zeros((n_frames, 4, 4))
     s = np.linspace(0, 1, n_frames)
@@ -127,7 +151,7 @@ def orbit_trajectory(n_frames: int, radius: float = 0.5, height: float = 0.0,
         yaw = (si - 0.5) * yaw_range
         cx = radius * np.sin(2 * np.pi * si * 0.5)
         cyy = height + 0.1 * np.sin(2 * np.pi * si)
-        cz = -0.3 * np.cos(2 * np.pi * si * 0.5)
+        cz = -forward * np.cos(2 * np.pi * si * 0.5)
         cy_, sy = np.cos(yaw), np.sin(yaw)
         R = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
         T = np.eye(4)

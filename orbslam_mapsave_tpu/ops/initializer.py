@@ -139,10 +139,19 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array, uv2: jax.Array
         uv2[..., 0, None] * P2[2] - P2[0],
         uv2[..., 1, None] * P2[2] - P2[1],
     ], axis=-2)  # (...,4,4)
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[..., -1, :]
-    w = jnp.where(jnp.abs(X[..., 3]) < 1e-12, 1e-12, X[..., 3])
-    return X[..., :3] / w[..., None]
+    # Inhomogeneous closed-form solve (w=1): 3x3 normal equations instead
+    # of the 4x4 homogeneous SVD — batched tiny SVDs run as a serialized
+    # Jacobi while-loop on TPU (~100ms per call at N=2048). Near-infinite
+    # points come out huge and are rejected by the same cheirality/
+    # reprojection gates the reference applies after its SVD
+    # (`Initializer.cc:640-768`, `LocalMapping.cc:339-407`).
+    B = A[..., :3]
+    c = A[..., 3]
+    M = jnp.sum(B[..., :, :, None] * B[..., :, None, :], axis=-3)  # (...,3,3)
+    rhs = -jnp.sum(B * c[..., None], axis=-2)  # (...,3)
+    from ..optim.lm import inv3x3
+
+    return jnp.sum(inv3x3(M) * rhs[..., None, :], axis=-1)
 
 
 def check_rt(R: jax.Array, t: jax.Array, p1: jax.Array, p2: jax.Array,

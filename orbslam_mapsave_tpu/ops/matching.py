@@ -63,11 +63,17 @@ def frustum_check(cam: projection.Camera, pose_cw: jax.Array,
     po = pt_pos - center
     dist = jnp.linalg.norm(po, axis=-1)
     view_cos = jnp.sum(po * pt_normal, -1) / jnp.maximum(dist, 1e-9)
+    # distance-invariance margins 0.8/1.2 (`MapPoint::GetMinDistanceInvariance`
+    # / `GetMaxDistanceInvariance`, `src/MapPoint.cc`, used by
+    # `Frame::isInFrustum` `src/Frame.cc:416-420`). Without the slack a
+    # point created at distance d is rejected the moment the camera backs
+    # off past d, so the local-map search can never re-acquire dropped
+    # matches and tracking decays monotonically.
     ok = (
         (z > 0)
         & (uv[..., 0] >= bounds[0]) & (uv[..., 0] < bounds[1])
         & (uv[..., 1] >= bounds[2]) & (uv[..., 1] < bounds[3])
-        & (dist >= pt_min_dist) & (dist <= pt_max_dist)
+        & (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
         & (view_cos > view_cos_limit)
     )
     return ok, uv, ur, dist, view_cos

@@ -163,7 +163,12 @@ class ORBSpec:
             ncy = max(1, h // cell)
             ncx = max(1, w // cell)
             n_cells = ncy * ncx
-            k = max(1, math.ceil(1.5 * budgets[lvl] / n_cells))
+            # candidate pool >= 4x the budget share per cell: with a tight
+            # pool (1.5x) the per-cell top-k competition churns ~15% of
+            # selected keypoints per frame on corner-dense imagery, decaying
+            # the tracked-point set (the reference's quadtree adapts node
+            # size instead and keeps locally-dominant corners stably)
+            k = max(6, math.ceil(4.0 * budgets[lvl] / n_cells))
             k = min(k, cell * cell)
             levels.append(
                 LevelSpec(h, w, scale, budgets[lvl], cell, k, ncy, ncx, n_cells * k)
@@ -220,7 +225,14 @@ def fast_score_map(img: jax.Array, th_for_corner: int) -> jax.Array:
     score_bright = arc9_min(d)  # > t means all 9 brighter by > t
     score_dark = arc9_min(-d)
     score = jnp.maximum(score_bright, score_dark)
-    score = jnp.where(score > th_for_corner, score, 0.0)
+    # continuous tie-breaker (< 1 integer unit): the FAST score on 8-bit
+    # data is a small integer, so hundreds of corners tie at the per-level
+    # budget cut and the retained subset churns ~20% per frame as raster
+    # order shifts (kills tracked-point persistence). Mean |ring contrast|
+    # is a smooth, frame-stable function of the image that orders ties
+    # without ever crossing integer score levels.
+    tie = jnp.mean(jnp.abs(d), axis=0) * (0.99 / 256.0)
+    score = jnp.where(score > th_for_corner, score + tie, 0.0)
     # kill 3px border (matches detection starting at minBorder anyway)
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
@@ -407,7 +419,10 @@ def extract(spec: ORBSpec, image: jax.Array, mask: jax.Array | None = None
                 mask.astype(jnp.float32), (ls.height, ls.width), method="nearest"
             )
             score = jnp.where(m[xy[:, 1], xy[:, 0]] > 0, score, 0.0)
-        # keep level budget by response
+        # keep level budget by response (continuous tie-broken score —
+        # round-robin-over-cells was tried and measured WORSE: weak
+        # min-th-only cells promote flickery corners over strong cells'
+        # runners-up)
         score_sel, sel = jax.lax.top_k(score, min(ls.budget, score.shape[0]))
         xy = xy[sel]
         ang = ic_angles(padded, xy)

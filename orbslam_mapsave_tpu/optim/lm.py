@@ -60,6 +60,32 @@ def point_pose_jacobian(p_cam: jax.Array) -> jax.Array:
     return jnp.concatenate([eye, -hat(p_cam)], axis=-1)
 
 
+def inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det) — avoids the
+    LU/SVD custom-call path, which runs as a serialized while-loop for
+    batches of tiny matrices on TPU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def solve_spd(H: jax.Array, g: jax.Array, lam: jax.Array,
               refine_steps: int = 2) -> jax.Array:
     """Solve (H + lam*I) dx = g, float32-robust.

@@ -50,6 +50,13 @@ class FrameBuilder:
 
         @jax.jit
         def _build(image, timestamp, depth, mask):
+            # inputs arrive in their storage dtype (u8 images, f16 depth —
+            # the host->device link is the bottleneck on remote-attached
+            # TPU: a 640x480 f32 pair costs ~44ms to send, u8+f16 ~11ms);
+            # all compute runs f32 on device
+            image = image.astype(jnp.float32)
+            if depth is not None:
+                depth = depth.astype(jnp.float32)
             kp = orb.extract(spec, image, mask)
             und = projection.undistort_points(cam, kp["xy"])
             n = kp["xy"].shape[0]
@@ -86,7 +93,7 @@ class FrameBuilder:
         self._build_mono = lambda img, t, mask=None: _build(img, t, None, mask)
 
     def build(self, image, timestamp, depth=None, mask=None) -> FrameData:
-        image = jnp.asarray(image, jnp.float32)
+        image = jnp.asarray(image)  # native dtype; converted on device
         if depth is not None:
-            return self._build_rgbd(image, timestamp, jnp.asarray(depth, jnp.float32), mask)
+            return self._build_rgbd(image, timestamp, jnp.asarray(depth), mask)
         return self._build_mono(image, timestamp, mask)

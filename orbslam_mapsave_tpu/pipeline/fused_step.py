@@ -109,10 +109,29 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             need_close = (tracked_close < 100) & (nontracked > 70)
         n_kfs = jnp.sum(state.kf_valid.astype(jnp.int32))
         th_ref = jnp.where(n_kfs < 2, 0.4, 0.9 if is_mono else 0.75)
-        ref_matches = jnp.sum(
-            ((state.kf_kp_point[ref_kf] >= 0)
-             & state.kf_kp_valid[ref_kf]).astype(jnp.int32)
+        # reference KF match count = points with >= nMinObs observations
+        # (`mpReferenceKF->TrackedMapPoints(nMinObs)`, `src/Tracking.cc:
+        # 1243-1246`, nMinObs=3 once the map has >2 KFs). Counting every
+        # point here (including the fresh single-observation ones each new
+        # KF seeds) inflates the threshold so a keyframe fires EVERY frame,
+        # ballooning the map with duplicates and corrupting local BA.
+        ref_pts = state.kf_kp_point[ref_kf]
+        ref_has = (ref_pts >= 0) & state.kf_kp_valid[ref_kf]
+        n_obs_ref = jnp.sum(
+            (state.pt_obs_kf[jnp.clip(ref_pts, 0)] >= 0).astype(jnp.int32),
+            axis=-1,
         )
+        min_obs = jnp.where(n_kfs <= 2, 2, 3)
+        ref_matches = jnp.sum(
+            (ref_has & (n_obs_ref >= min_obs)).astype(jnp.int32)
+        )
+        # bootstrap: right after (stereo/RGB-D) initialization every map
+        # point has ONE observation, so TrackedMapPoints(2) is 0 and the
+        # ratio conditions can never fire — the second keyframe would wait
+        # for the 1-second c1a timer while tracking decays. Fall back to
+        # the all-points count until multi-observation points exist.
+        ref_all = jnp.sum(ref_has.astype(jnp.int32))
+        ref_matches = jnp.where(ref_matches > 0, ref_matches, ref_all)
         c1a = ctrl.frame_id >= ctrl.last_kf_frame_id + cfg.max_frames
         c1b = ctrl.frame_id >= ctrl.last_kf_frame_id + cfg.min_frames
         rm = ref_matches.astype(jnp.float32)

@@ -194,6 +194,94 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
                           pt_obs_idx=pt_obs_idx)
 
 
+FUSE_CAP = 4096  # candidate points per fuse pass
+
+
+def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
+                       cam: projection.Camera, bounds: jax.Array,
+                       scale_factors: jax.Array, inv_level_sigma2: jax.Array,
+                       n_levels: int, scale_factor: float,
+                       th: float = 3.0) -> ms.MapState:
+    """`ORBmatcher::Fuse` into one keyframe (`src/ORBmatcher.cc:828-978`):
+    project candidate points into kf; for the best feature within
+    th*scale(predicted level) passing the chi2 gate and Hamming<=TH_LOW:
+    merge with the feature's existing point (keep the more-observed one,
+    `MapPoint::Replace`) or add a new observation.
+
+    cand_idx: (L,) unique point slots (-1 padded).
+    """
+    from ..ops import hamming, matching
+
+    L = cand_idx.shape[0]
+    P = state.pt_capacity
+    safe = jnp.clip(cand_idx, 0)
+    cand_ok = (cand_idx >= 0) & state.pt_valid[safe]
+    pose = state.kf_pose[kf]
+    ok, uv, ur_pred, dist, view_cos = matching.frustum_check(
+        cam, pose, state.pt_pos[safe], state.pt_normal[safe],
+        state.pt_min_dist[safe], state.pt_max_dist[safe], bounds,
+    )
+    ok = ok & cand_ok
+    # skip candidates already observed in this KF
+    already = (state.pt_obs_kf[safe] == kf).any(-1)
+    ok = ok & ~already
+    lvl = matching.predict_scale(dist, state.pt_max_dist[safe],
+                                 scale_factor, n_levels)
+    radius = th * scale_factors[lvl]
+    kxy = state.kf_kp_xy[kf]
+    koct = state.kf_kp_octave[kf]
+    kur = state.kf_kp_ur[kf]
+    kvalid = state.kf_kp_valid[kf]
+    d2 = jnp.sum((uv[:, None, :] - kxy[None, :, :]) ** 2, -1)  # (L,N)
+    in_win = d2 <= (radius[:, None] ** 2)
+    oct_ok = (koct[None, :] >= (lvl - 1)[:, None]) & (
+        koct[None, :] <= lvl[:, None]
+    )
+    # reprojection chi2 gate at the FEATURE's sigma (ORBmatcher.cc:905-933)
+    is2 = inv_level_sigma2[jnp.clip(koct, 0, n_levels - 1)][None, :]
+    er2 = (ur_pred[:, None] - kur[None, :]) ** 2
+    gate = jnp.where(
+        (kur >= 0)[None, :],
+        (d2 + er2) * is2 <= lm_chi2_stereo,
+        d2 * is2 <= lm_chi2_mono,
+    )
+    mask = in_win & oct_ok & kvalid[None, :] & ok[:, None] & gate
+    cand_bits = hamming.unpack_bits(state.pt_desc[safe])
+    kf_bits = hamming.unpack_bits(state.kf_desc[kf])
+    dmat = hamming.hamming_matrix_bits(cand_bits, kf_bits)
+    idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
+    good = ok & (best <= hamming.TH_LOW)
+    N = kxy.shape[0]
+    win = matching._resolve_conflicts(idx, best, good, N)  # (N,) cand row
+    cand_pt = jnp.where(win >= 0, cand_idx[jnp.clip(win, 0)], -1)  # (N,)
+    existing = state.kf_kp_point[kf]  # (N,)
+    obs_cnt = jnp.sum((state.pt_obs_kf >= 0).astype(jnp.int32), -1)  # (P,)
+    obs_exist = obs_cnt[jnp.clip(existing, 0)]
+    obs_cand = obs_cnt[jnp.clip(cand_pt, 0)]
+    merge = (win >= 0) & (existing >= 0) & (existing != cand_pt) & (
+        cand_pt >= 0
+    )
+    # keep the more-observed point; tie keeps the candidate (ORBmatcher.cc:
+    # 950-955: pMPinKF.obs > pMP.obs -> pMP replaced by pMPinKF)
+    keep_exist = obs_exist > obs_cand
+    src = jnp.where(merge, jnp.where(keep_exist, cand_pt, existing), -1)
+    dst = jnp.where(merge, jnp.where(keep_exist, existing, cand_pt), -1)
+    state = ms.merge_points(state, src, dst, merge)
+    # feature had no point: new observation
+    feat = jnp.arange(N, dtype=jnp.int32)
+    add = (win >= 0) & (existing < 0) & (cand_pt >= 0)
+    state = ms.add_observations(state, kf, cand_pt, feat, add)
+    del P, L
+    return state
+
+
+lm_chi2_mono = 5.99  # ORBmatcher.cc:905 (Fuse mono gate)
+lm_chi2_stereo = 7.8  # ORBmatcher.cc:929 (Fuse stereo gate)
+
+
+N_CULL_TARGETS = 64  # candidate window for keyframe culling
+
+
 @jax.jit
 def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     """Cull redundant covisible KFs of kf_slot (`src/LocalMapping.cc:632-698`).
@@ -204,36 +292,46 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     parent (flat re-parenting — the reference's best-covisible reassignment
     `src/KeyFrame.cc:1202-1274` is approximated by parent hoisting).
 
-    TPU formulation: instead of gathering every observer's octave per
-    (KF, feature, lane) — a K*N*O elementwise gather — build per-point
-    cumulative octave histograms over the observation rows once (P*O work),
-    then each (KF, feature) pair reads a single histogram bin.
+    TPU formulation: per-point cumulative octave histograms from the
+    denormalized `pt_obs_oct` column (dense (P,O) work — the naive
+    per-observer octave lookup is a 2M-element gather from (K,N), measured
+    ~35ms); candidates restricted to the top `N_CULL_TARGETS` covisible
+    KFs (the reference walks exactly the covisibles of the new KF,
+    `src/LocalMapping.cc:636`) so the per-candidate histogram reads are
+    (T,N) gathers instead of (K,N).
     """
     K, N = state.kf_kp_point.shape
     n_bins = 8  # histogram bins cover any realistic pyramid depth
-    targets = state.covis[kf_slot] > 0  # candidate local KFs
-    targets = targets & state.kf_valid & (jnp.arange(K) != 0)
+    T = min(N_CULL_TARGETS, K)
+
+    w = state.covis[kf_slot]
+    w = jnp.where(state.kf_valid, w, 0).at[0].set(0).at[kf_slot].set(0)
+    top_w, tgt = jax.lax.top_k(w, T)
+    tgt = tgt.astype(jnp.int32)
+    tgt_ok = top_w > 0
 
     # per-point cumulative octave histogram over observations:
     # cum[p,c] = #observers of p with octave <= c
     obs_ok = state.pt_obs_kf >= 0  # (P,O)
-    o_oct = state.kf_kp_octave[
-        jnp.clip(state.pt_obs_kf, 0), jnp.clip(state.pt_obs_idx, 0)
-    ]  # (P,O)
-    o_oct = jnp.clip(o_oct, 0, n_bins - 1)
+    o_oct = jnp.clip(state.pt_obs_oct.astype(jnp.int32), 0, n_bins - 1)
     onehot = (o_oct[..., None] == jnp.arange(n_bins)) & obs_ok[..., None]
     cum = jnp.cumsum(jnp.sum(onehot.astype(jnp.int32), axis=1), axis=-1)
 
-    pts = state.kf_kp_point  # (K,N)
-    ok = pts >= 0
+    tgt_safe = jnp.clip(tgt, 0)
+    pts = state.kf_kp_point[tgt_safe]  # (T,N)
+    octv = state.kf_kp_octave[tgt_safe]  # (T,N)
+    ok = (pts >= 0) & tgt_ok[:, None]
     safe_pt = jnp.clip(pts, 0)
-    bin_ = jnp.clip(state.kf_kp_octave + 1, 0, n_bins - 1)  # oct' <= oct+1
-    n_leq = cum[safe_pt, bin_]  # (K,N) — includes self (self passes the cond)
+    bin_ = jnp.clip(octv + 1, 0, n_bins - 1)  # oct' <= oct+1
+    n_leq = cum[safe_pt, bin_]  # (T,N) — includes self (self passes the cond)
     redundant_pt = ok & (n_leq - 1 >= 3)
     n_pts = jnp.sum(ok.astype(jnp.int32), -1)
     n_red = jnp.sum(redundant_pt.astype(jnp.int32), -1)
-    cull = targets & (n_pts > 0) & (
+    cull_t = tgt_ok & (n_pts > 0) & (
         n_red.astype(jnp.float32) > 0.9 * n_pts.astype(jnp.float32)
+    )
+    cull = jnp.zeros(K, bool).at[jnp.where(cull_t, tgt, K - 1)].set(
+        cull_t, mode="drop"
     )
     # re-parent children of culled KFs
     parent = state.kf_parent
@@ -241,9 +339,14 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     parent_is_culled = (parent >= 0) & cull[pp]
     new_parent = jnp.where(parent_is_culled, state.kf_parent[pp], parent)
     # remove culled KFs' observations: forward rows zeroed; reverse lanes
-    # cleared elementwise (no rebuild — lane holes are tolerated everywhere)
+    # cleared elementwise (no rebuild — lane holes are tolerated everywhere).
+    # The lane test compares against the <=T culled ids instead of gathering
+    # a (P,O) cull-flag lookup (fuses into one pass over pt_obs_kf).
     fwd = jnp.where(cull[:, None], -1, state.kf_kp_point)
-    obs_culled = (state.pt_obs_kf >= 0) & cull[jnp.clip(state.pt_obs_kf, 0)]
+    culled_ids = jnp.where(cull_t, tgt, -2)  # (T,) — -2 never matches
+    obs_culled = (
+        state.pt_obs_kf[..., None] == culled_ids[None, None, :]
+    ).any(-1)
     state = state._replace(
         kf_valid=state.kf_valid & ~cull,
         kf_kp_point=fwd,
@@ -251,6 +354,7 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
         covis=jnp.where(cull[:, None] | cull[None, :], 0, state.covis),
         pt_obs_kf=jnp.where(obs_culled, -1, state.pt_obs_kf),
         pt_obs_idx=jnp.where(obs_culled, -1, state.pt_obs_idx),
+        pt_obs_oct=jnp.where(obs_culled, jnp.int8(-1), state.pt_obs_oct),
     )
     # points whose reference KF was culled re-anchor to their first
     # surviving observer (`MapPoint` keeps mpRefKF alive in the reference
@@ -302,6 +406,11 @@ class LocalMapper:
         n_tri = self.n_tri_neighbors
         is_mono_ = self.is_mono
         enable_culling_ = self.enable_culling
+        scale_factors_ = jnp.asarray(
+            scale_factors if scale_factors is not None
+            else [scale_factor**i for i in range(n_levels)], jnp.float32)
+        bounds_ = projection.compute_image_bounds(cam)
+        inv_ls2_ = self.inv_level_sigma2
 
         def _ba(state, kf_slot, abort):
             prob, cam_slots, lidx = build_local_ba_problem(
@@ -325,28 +434,41 @@ class LocalMapper:
 
             if tri is not None:
                 neigh = ms.covisible_keyframes(state, kf_slot, n_tri)
+                state, slots = tri.batched(state, kf_slot, neigh)
+                state = tri.finalize_idx(state, jnp.clip(slots, 0), slots >= 0)
+                state = ms.update_connections(state, kf_slot)
 
-                def tri_body(carry, nb):
-                    st, pmask = carry
-
-                    def run(st):
-                        st2, slots, _ = tri.core(st, kf_slot,
-                                                 jnp.maximum(nb, 0))
-                        m = jnp.zeros(P, bool).at[jnp.clip(slots, 0)].set(
-                            slots >= 0
-                        )
-                        return st2, m
-
-                    st, m = jax.lax.cond(
-                        nb >= 0, run,
-                        lambda st: (st, jnp.zeros(P, bool)), st,
-                    )
-                    return (st, pmask | m), None
-
-                (state, new_mask), _ = jax.lax.scan(
-                    tri_body, (state, jnp.zeros(P, bool)), neigh
-                )
-                state = tri.finalize(state, new_mask)
+                # `LocalMapping::SearchInNeighbors` (`src/LocalMapping.cc:
+                # 454-534`), target->current direction: fuse the covisible
+                # neighbourhood's points into the new keyframe so duplicate
+                # landmarks (depth re-seeds, re-triangulations) merge
+                # instead of accumulating. (The current->target direction —
+                # pushing the new KF's points into each neighbour — is
+                # covered over time by the next keyframes' own fuse passes.)
+                nb_safe = jnp.clip(neigh, 0)
+                pts_nb = jnp.where((neigh >= 0)[:, None],
+                                   state.kf_kp_point[nb_safe], -1)
+                flat = pts_nb.reshape(-1)
+                flag = jnp.zeros(P, jnp.int8).at[jnp.clip(flat, 0)].max(
+                    jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
+                flag = jnp.where(state.pt_valid, flag, 0).astype(jnp.int32)
+                pos = jnp.cumsum(flag) - flag
+                okp = (flag > 0) & (pos < FUSE_CAP)
+                cand = jnp.full(FUSE_CAP, -1, jnp.int32).at[
+                    jnp.where(okp, pos, FUSE_CAP - 1)
+                ].max(jnp.where(okp, jnp.arange(P, dtype=jnp.int32), -1),
+                      mode="drop")
+                state = fuse_into_keyframe(
+                    state, kf_slot, cand, cam, bounds_, scale_factors_,
+                    inv_ls2_, n_levels, scale_factor)
+                # refresh fused points' descriptors/normals + connections
+                # (`src/LocalMapping.cc:521-532`)
+                own = state.kf_kp_point[kf_slot]
+                state = ms.compute_distinctive_descriptors_idx(
+                    state, jnp.clip(own, 0), own >= 0)
+                state = ms.update_normal_and_depth_idx(
+                    state, jnp.clip(own, 0), own >= 0, scale_factors_,
+                    n_levels)
                 state = ms.update_connections(state, kf_slot)
 
             def run_ba(state):

@@ -39,11 +39,12 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
                       scale_factor: float, is_mono: bool):
     ratio_factor = 1.5 * scale_factor  # LocalMapping.cc:298
 
-    def triangulate_core(state: ms.MapState, kf1, kf2, enabled=True):
-        """Create new points between kf1 (current) and kf2 (neighbour),
-        WITHOUT the distinctive-descriptor / normal finalization (callers
-        batch that over all pairs — `finalize_new_points`).
-        Returns (state, slots (N,) i32 new-point slots or -1, pair_ok)."""
+    def candidates(state: ms.MapState, kf1, kf2, enabled=True):
+        """PURE candidate generation between kf1 (current) and kf2: all the
+        matching + geometric gates of `CreateNewMapPoints`
+        (`src/LocalMapping.cc:264-449`) with NO state mutation, so it vmaps
+        over the neighbour axis. Returns (ok (N,), X (N,3), m2 (N,), pair_ok).
+        """
         T1 = state.kf_pose[kf1]
         T2 = state.kf_pose[kf2]
         O1 = se3.se3_inv(T1)[:3, 3]
@@ -152,13 +153,49 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
             ratio_dist * ratio_factor > ratio_oct
         ) & (dist1 > 0) & (dist2 > 0)
         ok = ok & pair_ok & enabled
+        return ok, X, m2, pair_ok
 
-        # create points with both observations
+    def commit(state: ms.MapState, kf1, kf2_rows, ok, X, m2):
+        """Materialize candidate points: allocation + both observations.
+        kf2_rows: (N,) the neighbour KF per feature (varying)."""
         state, slots = ms.add_points(state, X, state.kf_desc[kf1], kf1, kf1, ok)
-        feat1 = jnp.arange(xy1.shape[0], dtype=jnp.int32)
+        feat1 = jnp.arange(X.shape[0], dtype=jnp.int32)
         state = ms.add_observations(state, kf1, slots, feat1, ok)
-        state = ms.add_observations(state, kf2, slots, m2, ok)
+        state = ms.add_observations_rows(state, kf2_rows, slots, m2, ok)
+        return state, slots
+
+    def triangulate_core(state: ms.MapState, kf1, kf2, enabled=True):
+        """Single-pair create (kept for callers that go one neighbour at a
+        time). Returns (state, slots (N,) i32 or -1, pair_ok)."""
+        ok, X, m2, pair_ok = candidates(state, kf1, kf2, enabled)
+        kf2_rows = jnp.full(X.shape[0], kf2, jnp.int32)
+        state, slots = commit(state, kf1, kf2_rows, ok, X, m2)
         return state, slots, pair_ok
+
+    def triangulate_batched(state: ms.MapState, kf1, neigh: jax.Array):
+        """All neighbours at once: vmap the pure candidate pass over the
+        neighbour axis, keep each feature's FIRST matching neighbour (the
+        sequential reference marks a feature tracked after its first match,
+        `SearchForTriangulation` only takes untracked features), then do ONE
+        allocation + observation pass.
+
+        Replaces the lax.scan-of-pairs formulation whose carry copies of the
+        full MapState cost more than the matching itself (~40ms of a 71ms
+        scan, measured). Returns (state, new_mask (P,))."""
+        nb_safe = jnp.maximum(neigh, 0)
+        ok_b, X_b, m2_b, _ = jax.vmap(
+            lambda nb, en: candidates(state, kf1, nb, en)
+        )(nb_safe, neigh >= 0)
+        # first matching neighbour per feature
+        first = jnp.argmax(ok_b, axis=0)  # (N,)
+        any_ok = ok_b.any(axis=0)
+        N = X_b.shape[1]
+        rows = jnp.arange(N)
+        X = X_b[first, rows]
+        m2 = m2_b[first, rows]
+        kf2_rows = jnp.where(any_ok, nb_safe[first], -1)
+        state, slots = commit(state, kf1, kf2_rows, any_ok, X, m2)
+        return state, slots
 
     def finalize_new_points(state: ms.MapState, pmask: jax.Array,
                             cap: int = 8192):
@@ -167,6 +204,10 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
         (idx,) = jnp.nonzero(pmask, size=cap, fill_value=state.pt_capacity)
         ok = idx < state.pt_capacity
         idx = jnp.where(ok, idx, 0).astype(jnp.int32)
+        return finalize_idx(state, idx, ok)
+
+    def finalize_idx(state: ms.MapState, idx: jax.Array, ok: jax.Array):
+        """Finalization over an explicit slot vector (no mask compaction)."""
         state = ms.compute_distinctive_descriptors_idx(state, idx, ok)
         state = ms.update_normal_and_depth_idx(state, idx, ok,
                                                scale_factors, n_levels)
@@ -177,16 +218,17 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
         """Single-pair variant (core + finalize); kept for callers that
         triangulate one neighbour at a time."""
         state, slots, pair_ok = triangulate_core(state, kf1, kf2)
-        pmask = jnp.zeros(state.pt_capacity, bool).at[jnp.clip(slots, 0)].set(
-            slots >= 0
-        )
-        state = finalize_new_points(state, pmask)
+        state = finalize_idx(state, jnp.clip(slots, 0), slots >= 0)
         n_new = jnp.sum((slots >= 0).astype(jnp.int32))
         return state, n_new, pair_ok
 
+    _finalize_idx_fn = finalize_idx
+
     class _Triangulator:
         core = staticmethod(triangulate_core)
+        batched = staticmethod(triangulate_batched)
         finalize = staticmethod(finalize_new_points)
+        finalize_idx = staticmethod(_finalize_idx_fn)
 
         def __call__(self, state, kf1, kf2):
             return triangulate_pair(state, kf1, kf2)

@@ -64,6 +64,10 @@ class MapState(NamedTuple):
     pt_found: jax.Array  # (P,) i32 mnFound
     pt_obs_kf: jax.Array  # (P,MAX_OBS) i32 observing KF slots, -1 pad
     pt_obs_idx: jax.Array  # (P,MAX_OBS) i32 feature index in that KF
+    pt_obs_oct: jax.Array  # (P,MAX_OBS) i8 octave of that observation (-1 pad)
+    # — denormalized copy of kf_kp_octave[obs] so octave-dependent passes
+    # (KeyFrameCulling's same-or-finer-scale histogram,
+    # `src/LocalMapping.cc:668-686`) never gather from the big (K,N) tables
     # --- graph ---
     covis: jax.Array  # (K,K) i32 shared-observation counts
     kf_parent: jax.Array  # (K,) i32 spanning-tree parent slot (-1 root)
@@ -118,6 +122,7 @@ def empty_map(max_keyframes: int, max_points: int, n_features: int,
         pt_found=np.ones(P, np.int32),
         pt_obs_kf=np.full((P, MAX_OBS), -1, np.int32),
         pt_obs_idx=np.full((P, MAX_OBS), -1, np.int32),
+        pt_obs_oct=np.full((P, MAX_OBS), -1, np.int8),
         covis=np.zeros((K, K), np.int32),
         kf_parent=np.full(K, -1, np.int32),
         kf_loop_edges=np.full((K, MAX_LOOP_EDGES), -1, np.int32),
@@ -207,6 +212,7 @@ def add_points(state: MapState, pos: jax.Array, desc: jax.Array,
         pt_found=scat(state.pt_found, jnp.ones(B, jnp.int32), ok),
         pt_obs_kf=scat(state.pt_obs_kf, jnp.full((B, MAX_OBS), -1, jnp.int32), ok),
         pt_obs_idx=scat(state.pt_obs_idx, jnp.full((B, MAX_OBS), -1, jnp.int32), ok),
+        pt_obs_oct=scat(state.pt_obs_oct, jnp.full((B, MAX_OBS), -1, jnp.int8), ok),
         n_pt=jnp.minimum(state.n_pt + jnp.sum(valid_mask.astype(jnp.int32)),
                          jnp.int32(cap)),
     )
@@ -243,8 +249,50 @@ def add_observations(state: MapState, kf_slot, pt_slots: jax.Array,
     pt_obs_idx = state.pt_obs_idx.at[safe_pt, free_lane].set(
         jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, free_lane])
     )
+    oct_b = state.kf_kp_octave[kf_slot][safe_ft].astype(jnp.int8)
+    pt_obs_oct = state.pt_obs_oct.at[safe_pt, free_lane].set(
+        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, free_lane])
+    )
     return state._replace(
-        kf_kp_point=kf_kp_point, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx
+        kf_kp_point=kf_kp_point, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
+        pt_obs_oct=pt_obs_oct,
+    )
+
+
+def add_observations_rows(state: MapState, kf_rows: jax.Array,
+                          pt_slots: jax.Array, feat_idx: jax.Array,
+                          ok: jax.Array) -> MapState:
+    """`add_observations` variant with a DIFFERENT keyframe per row — used
+    by batched triangulation, where each new point's second observation
+    lives in whichever covisible neighbour produced the match.
+
+    pt_slots must be unique within a call (fresh allocations are)."""
+    K = state.kf_capacity
+    okk = ok & (pt_slots >= 0) & (kf_rows >= 0)
+    safe_kf = jnp.where(okk, kf_rows, K - 1)
+    safe_ft = jnp.where(okk, feat_idx, state.n_features - 1)
+    cur = state.kf_kp_point[safe_kf, safe_ft]
+    fwd = state.kf_kp_point.at[safe_kf, safe_ft].set(
+        jnp.where(okk, pt_slots, cur)
+    )
+    safe_pt = jnp.where(okk, pt_slots, state.pt_capacity - 1)
+    obs_rows = state.pt_obs_kf[safe_pt]  # (B,MAX_OBS)
+    free_lane = jnp.argmax(obs_rows < 0, axis=-1)
+    has_free = (obs_rows < 0).any(axis=-1)
+    okf = okk & has_free
+    pt_obs_kf = state.pt_obs_kf.at[safe_pt, free_lane].set(
+        jnp.where(okf, kf_rows, state.pt_obs_kf[safe_pt, free_lane])
+    )
+    pt_obs_idx = state.pt_obs_idx.at[safe_pt, free_lane].set(
+        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, free_lane])
+    )
+    oct_b = state.kf_kp_octave[safe_kf, safe_ft].astype(jnp.int8)
+    pt_obs_oct = state.pt_obs_oct.at[safe_pt, free_lane].set(
+        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, free_lane])
+    )
+    return state._replace(
+        kf_kp_point=fwd, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
+        pt_obs_oct=pt_obs_oct,
     )
 
 
@@ -264,6 +312,7 @@ def erase_points(state: MapState, pt_mask: jax.Array) -> MapState:
         kf_kp_point=fwd,
         pt_obs_kf=jnp.where(pt_mask[:, None], -1, state.pt_obs_kf),
         pt_obs_idx=jnp.where(pt_mask[:, None], -1, state.pt_obs_idx),
+        pt_obs_oct=jnp.where(pt_mask[:, None], jnp.int8(-1), state.pt_obs_oct),
     )
 
 
@@ -294,6 +343,77 @@ def replace_points(state: MapState, src: jax.Array, dst: jax.Array,
     bad = jnp.zeros(P, bool).at[safe_src].set(ok, mode="drop")
     state = state._replace(kf_kp_point=new_fwd, pt_visible=vis, pt_found=fnd)
     return erase_points(state, bad)
+
+
+def merge_points(state: MapState, src: jax.Array, dst: jax.Array,
+                 ok: jax.Array) -> MapState:
+    """Full `MapPoint::Replace` parity (`src/MapPoint.cc`): every
+    observation of src[i] moves to dst[i]; where the observing KF already
+    sees dst, the duplicate forward match is ERASED (the reference's
+    `EraseMapPointMatch` branch); src is soft-deleted; visible/found
+    accumulate. src slots must be unique within a call and disjoint
+    from dst.
+    """
+    P = state.pt_capacity
+    B = src.shape[0]
+    ok = ok & (src >= 0) & (dst >= 0) & (src != dst)
+    safe_src = jnp.where(ok, src, P - 1)
+    safe_dst = jnp.where(ok, dst, P - 1)
+    s_kf = jnp.where(ok[:, None], state.pt_obs_kf[safe_src], -1)  # (B,O)
+    s_ix = state.pt_obs_idx[safe_src]
+    s_oc = state.pt_obs_oct[safe_src]
+    d_kf = state.pt_obs_kf[safe_dst]
+    # src observations whose KF already observes dst -> duplicate
+    dup = ((s_kf[:, :, None] == d_kf[:, None, :]) & (s_kf >= 0)[..., None]
+           ).any(-1)
+    s_live = (s_kf >= 0)
+    move = s_live & ~dup  # transferred to dst
+    # forward pointers: moved -> dst, duplicates -> -1
+    tgt = jnp.where(move, safe_dst[:, None], -1)
+    K = state.kf_capacity
+    N = state.n_features
+    f_kf = jnp.where(s_live, s_kf, K - 1)
+    f_ix = jnp.where(s_live, s_ix, N - 1)
+    cur = state.kf_kp_point[f_kf, f_ix]
+    fwd = state.kf_kp_point.at[f_kf, f_ix].set(
+        jnp.where(s_live, tgt, cur)
+    )
+    # reverse rows of dst: append moved lanes into free slots — combined
+    # row sorted valid-first, truncated to MAX_OBS (overflow drops the
+    # tail, like the fixed-capacity observation list everywhere else)
+    comb_kf = jnp.concatenate([d_kf, jnp.where(move, s_kf, -1)], axis=1)
+    comb_ix = jnp.concatenate([state.pt_obs_idx[safe_dst],
+                               jnp.where(move, s_ix, -1)], axis=1)
+    comb_oc = jnp.concatenate([state.pt_obs_oct[safe_dst],
+                               jnp.where(move, s_oc, jnp.int8(-1))], axis=1)
+    order = jnp.argsort(jnp.where(comb_kf >= 0, 0, 1), axis=1, stable=True)
+    comb_kf = jnp.take_along_axis(comb_kf, order, axis=1)[:, :MAX_OBS]
+    comb_ix = jnp.take_along_axis(comb_ix, order, axis=1)[:, :MAX_OBS]
+    comb_oc = jnp.take_along_axis(comb_oc, order, axis=1)[:, :MAX_OBS]
+    pt_obs_kf = state.pt_obs_kf.at[safe_dst].set(
+        jnp.where(ok[:, None], comb_kf, state.pt_obs_kf[safe_dst]))
+    pt_obs_idx = state.pt_obs_idx.at[safe_dst].set(
+        jnp.where(ok[:, None], comb_ix, state.pt_obs_idx[safe_dst]))
+    pt_obs_oct = state.pt_obs_oct.at[safe_dst].set(
+        jnp.where(ok[:, None], comb_oc, state.pt_obs_oct[safe_dst]))
+    # visible/found accumulate (MapPoint::Replace)
+    vis = state.pt_visible.at[safe_dst].add(
+        jnp.where(ok, state.pt_visible[safe_src], 0))
+    fnd = state.pt_found.at[safe_dst].add(
+        jnp.where(ok, state.pt_found[safe_src], 0))
+    # erase src
+    src_mask = jnp.zeros(P, bool).at[safe_src].set(ok, mode="drop")
+    state = state._replace(
+        kf_kp_point=fwd, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
+        pt_obs_oct=pt_obs_oct, pt_visible=vis, pt_found=fnd,
+    )
+    return state._replace(
+        pt_valid=state.pt_valid & ~src_mask,
+        pt_obs_kf=jnp.where(src_mask[:, None], -1, state.pt_obs_kf),
+        pt_obs_idx=jnp.where(src_mask[:, None], -1, state.pt_obs_idx),
+        pt_obs_oct=jnp.where(src_mask[:, None], jnp.int8(-1),
+                             state.pt_obs_oct),
+    )
 
 
 def rebuild_observations(state: MapState) -> MapState:
@@ -327,10 +447,15 @@ def rebuild_observations(state: MapState) -> MapState:
     obs_idx = obs_idx.at[safe_rows, safe_lane].set(
         jnp.where(lane_ok, ft_of.astype(jnp.int32), -1), mode="drop"
     )
+    oct_of = state.kf_kp_octave[kf_of, ft_of].astype(jnp.int8)
+    obs_oct = jnp.full((P, MAX_OBS), -1, jnp.int8).at[safe_rows, safe_lane].set(
+        jnp.where(lane_ok, oct_of, jnp.int8(-1)), mode="drop"
+    )
     # last slot may have been dummy-written; ensure P-1 row only holds real obs
     real_last = jnp.sum(jnp.where(lane_ok & (sorted_pt == P - 1), 1, 0))
     del real_last, safe_pt
-    return state._replace(pt_obs_kf=obs_kf, pt_obs_idx=obs_idx)
+    return state._replace(pt_obs_kf=obs_kf, pt_obs_idx=obs_idx,
+                          pt_obs_oct=obs_oct)
 
 
 def update_connections(state: MapState, kf_slot) -> MapState:
