@@ -29,7 +29,8 @@ def main(argv=None):
     ap.add_argument("--settings", help="master Setting.yaml (reference format)")
     ap.add_argument("--camera-yaml", help="camera/ORB settings yaml")
     ap.add_argument("--dataset", help="TUM/KITTI/imagedir dataset root")
-    ap.add_argument("--sensor", choices=["mono", "rgbd"], default="rgbd")
+    ap.add_argument("--sensor", choices=["mono", "rgbd", "stereo"],
+                    default="rgbd")
     ap.add_argument("--vocabulary", help=".bin/.txt vocabulary path")
     ap.add_argument("--reuse-map", help="map checkpoint to load (reuse mode)")
     ap.add_argument("--save-map", help="map checkpoint to write at the end")
@@ -64,8 +65,9 @@ def main(argv=None):
         voc = voc_mod.load(cfg.vocabulary_path)
         print(f"Vocabulary loaded ({voc.n_words} words) in {time.time()-t0:.2f}s")
 
-    sensor = (system_mod.Sensor.MONOCULAR if args.sensor == "mono"
-              else system_mod.Sensor.RGBD)
+    sensor = {"mono": system_mod.Sensor.MONOCULAR,
+              "stereo": system_mod.Sensor.STEREO,
+              "rgbd": system_mod.Sensor.RGBD}[args.sensor]
     slam = system_mod.SLAMSystem(
         cfg, sensor, vocabulary=voc,
         reuse_map_path=cfg.reuse_map_path if cfg.reuse_map else None,
@@ -82,10 +84,15 @@ def main(argv=None):
     print(f"Tracking {n} frames from {dataset_root} ({args.sensor}) ...")
     t_track = []
     for i in range(n):
-        t, gray, depth = ds[i]
+        if sensor == system_mod.Sensor.STEREO:
+            t, gray, right = ds.stereo(i)
+        else:
+            t, gray, depth = ds[i]
         t0 = time.perf_counter()
         if sensor == system_mod.Sensor.RGBD:
             pose = slam.track_rgbd(gray, depth, t)
+        elif sensor == system_mod.Sensor.STEREO:
+            pose = slam.track_stereo(gray, right, t)
         else:
             pose = slam.track_monocular(gray, t)
         t_track.append(time.perf_counter() - t0)

@@ -112,7 +112,11 @@ class TUMDataset:
 
 
 class KITTIDataset:
-    """KITTI odometry grayscale sequence: image_0/??????.png + times.txt."""
+    """KITTI odometry grayscale sequence: image_0/??????.png + times.txt.
+
+    If an `image_1/` directory exists the sequence is stereo-capable
+    (`has_stereo`); `stereo(i)` returns the left/right pair for
+    `System::TrackStereo` (`src/System.cc:261-334`)."""
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -122,12 +126,23 @@ class KITTIDataset:
             if line.strip()
         ]
         self.images = sorted((self.root / "image_0").glob("*.png"))
+        self.images_r = sorted((self.root / "image_1").glob("*.png"))
+        self.has_stereo = len(self.images_r) == len(self.images) > 0
 
     def __len__(self) -> int:
         return min(len(self.times), len(self.images))
 
     def __getitem__(self, i: int) -> tuple[float, np.ndarray, None]:
         return self.times[i], _imread_gray(self.images[i]), None
+
+    def stereo(self, i: int) -> tuple[float, np.ndarray, np.ndarray]:
+        if not self.has_stereo:
+            raise ValueError(
+                f"{self.root} has no image_1/ directory (stereo requires "
+                "image_0/ + image_1/ with matching frame counts)"
+            )
+        return (self.times[i], _imread_gray(self.images[i]),
+                _imread_gray(self.images_r[i]))
 
     def __iter__(self):
         for i in range(len(self)):

@@ -199,3 +199,43 @@ def write_tum_sequence(out_dir: str | Path, K: np.ndarray, poses_wc: np.ndarray,
     (out / "depth.txt").write_text("\n".join(depth_lines) + "\n")
     (out / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
     return out
+
+
+def write_stereo_sequence(out_dir: str | Path, K: np.ndarray,
+                          poses_wc: np.ndarray, width: int = 640,
+                          height: int = 480, baseline: float = 0.12,
+                          fps: float = 30.0, seed: int = 0,
+                          half_size: float = 2.0) -> Path:
+    """Render a BoxRoom trajectory as a KITTI-layout stereo sequence.
+
+    Writes image_0/ (left), image_1/ (right, shifted `baseline` meters along
+    the camera x axis), times.txt, and a TUM-format groundtruth.txt of the
+    left-camera poses for ATE tooling.
+    """
+    from PIL import Image
+
+    from .trajectory import rot_to_quat_np
+
+    out = Path(out_dir)
+    (out / "image_0").mkdir(parents=True, exist_ok=True)
+    (out / "image_1").mkdir(parents=True, exist_ok=True)
+    room = BoxRoom(half_size=half_size, seed=seed)
+    times, gt_lines = [], ["# synthetic stereo"]
+    for i, Twc in enumerate(poses_wc):
+        t = i / fps
+        Twc_r = Twc.copy()
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array([baseline, 0, 0])
+        gl, _ = room.render(K, Twc, width, height)
+        gr, _ = room.render(K, Twc_r, width, height)
+        Image.fromarray(gl.astype(np.uint8)).save(out / f"image_0/{i:06d}.png")
+        Image.fromarray(gr.astype(np.uint8)).save(out / f"image_1/{i:06d}.png")
+        times.append(f"{t:.6e}")
+        q = rot_to_quat_np(Twc[:3, :3])
+        tw = Twc[:3, 3]
+        gt_lines.append(
+            f"{t:.6f} {tw[0]:.6f} {tw[1]:.6f} {tw[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}"
+        )
+    (out / "times.txt").write_text("\n".join(times) + "\n")
+    (out / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+    return out

@@ -92,8 +92,50 @@ class FrameBuilder:
         self._build_rgbd = lambda img, t, depth, mask=None: _build(img, t, depth, mask)
         self._build_mono = lambda img, t, mask=None: _build(img, t, None, mask)
 
+        @jax.jit
+        def _build_stereo(image_left, image_right, timestamp):
+            """Stereo frame: batched L/R extraction (the reference spawns two
+            threads, `Frame::Frame` `src/Frame.cc:78-79` — here the pair is a
+            batch dimension) + `ComputeStereoMatches` (`src/Frame.cc:584-756`)
+            for per-left-keypoint uRight/depth."""
+            from ..ops import stereo as stereo_mod
+
+            pair = jnp.stack([image_left.astype(jnp.float32),
+                              image_right.astype(jnp.float32)])
+            kp = jax.vmap(lambda im: orb.extract(spec, im))(pair)
+            kl = jax.tree.map(lambda a: a[0], kp)
+            kr = jax.tree.map(lambda a: a[1], kp)
+            bits_l = hamming.unpack_bits(kl["desc"])
+            bits_r = hamming.unpack_bits(kr["desc"])
+            ur, kp_depth = stereo_mod.compute_stereo_matches(
+                spec, pair[0], pair[1],
+                kl["xy"], kl["octave"], bits_l, kl["valid"],
+                kr["xy"], kr["octave"], bits_r, kr["valid"],
+                bf=float(cam.bf), fx=float(cam.fx),
+            )
+            und = projection.undistort_points(cam, kl["xy"])
+            return FrameData(
+                timestamp=jnp.asarray(timestamp, jnp.float32),
+                kp_xy_raw=kl["xy"],
+                kp_xy=und,
+                kp_ur=ur,
+                kp_depth=kp_depth,
+                kp_octave=kl["octave"],
+                kp_angle=kl["angle_deg"],
+                kp_response=kl["response"],
+                desc=kl["desc"],
+                desc_bits=bits_l,
+                valid=kl["valid"],
+            )
+
+        self._build_stereo = _build_stereo
+
     def build(self, image, timestamp, depth=None, mask=None) -> FrameData:
         image = jnp.asarray(image)  # native dtype; converted on device
         if depth is not None:
             return self._build_rgbd(image, timestamp, jnp.asarray(depth), mask)
         return self._build_mono(image, timestamp, mask)
+
+    def build_stereo(self, image_left, image_right, timestamp) -> FrameData:
+        return self._build_stereo(jnp.asarray(image_left),
+                                  jnp.asarray(image_right), timestamp)

@@ -72,7 +72,9 @@ class SLAMSystem:
         tcfg = tracking.TrackerConfig(
             max_frames=int(c.fps), th_depth=th_depth_m,
             # local search th: 1 generic, 3 RGB-D (Tracking.cc:1445-1450)
-            local_th=1.0 if is_mono else 3.0,
+            local_th=3.0 if sensor == Sensor.RGBD else 1.0,
+            # motion-model window: 7 stereo, 15 otherwise (Tracking.cc:1127)
+            motion_th=7.0 if sensor == Sensor.STEREO else 15.0,
             is_mono=is_mono,
         )
         self.mapper = (

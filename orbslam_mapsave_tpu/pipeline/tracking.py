@@ -490,6 +490,12 @@ class Tracker:
         self._ensure_ctrl(fr)
         return self._enqueue(fr, float(timestamp))
 
+    # -- stereo entry (GrabImageStereo, Tracking.cc:246-298) ---------------
+    def track_stereo(self, image_left, image_right, timestamp: float):
+        fr = self.builder.build_stereo(image_left, image_right, timestamp)
+        self._ensure_ctrl(fr)
+        return self._enqueue(fr, float(timestamp))
+
     # -- monocular entry (GrabImageMonocular, Tracking.cc:405-441) ---------
     def track_monocular(self, image, timestamp: float):
         fr = self.builder.build(image, timestamp)
