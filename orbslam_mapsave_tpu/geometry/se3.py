@@ -168,6 +168,45 @@ def mat_to_rt(T: jax.Array) -> tuple[jax.Array, jax.Array]:
     return T[..., :3, :3], T[..., :3, 3]
 
 
+def orthonormalize(T: jax.Array, iters: int = 3) -> jax.Array:
+    """Project the rotation block of (...,4,4) back onto SO(3).
+
+    Newton iteration for the polar factor, R <- R(3I - R^T R)/2 — pure
+    matmuls (MXU-friendly, no SVD custom call), quadratically convergent for
+    near-orthogonal R. Needed because the tracker chains hundreds of f32
+    4x4 products per frame (LM updates, velocity model); the resulting
+    drift off SO(3) is INVISIBLE to reprojection error at first but is
+    amplified geometrically by the constant-velocity feedback loop
+    (vel = T_k T_{k-1}^-1 with a transpose-based inverse doubles the
+    symmetric error each frame) — measured ~x1.5/frame growth that
+    collapsed tracking after ~18 frames. The reference never hits this
+    because g2o stores rotations as unit quaternions renormalized on every
+    update (`Thirdparty/g2o/g2o/types/se3quat.h:41`).
+    """
+    R = T[..., :3, :3]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
+    for _ in range(iters):
+        R = R @ (1.5 * eye3 - 0.5 * jnp.swapaxes(R, -1, -2) @ R)
+    return rt_to_mat(R, T[..., :3, 3])
+
+
+def sim3_orthonormalize(S: jax.Array, iters: int = 3) -> jax.Array:
+    """Project the sR block of a (...,4,4) Sim3 back onto scale x SO(3).
+
+    Scale recovered as det(sR)^(1/3) (exact for s*R in SO(3)), rotation by
+    the same Newton polar iteration as `orthonormalize`. Same rationale:
+    chained f32 sim3_exp products drift off the group.
+    """
+    M = S[..., :3, :3]
+    det = jnp.linalg.det(M)
+    s = jnp.cbrt(jnp.maximum(det, 1e-30))[..., None, None]
+    R = M / s
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), R.shape)
+    for _ in range(iters):
+        R = R @ (1.5 * eye3 - 0.5 * jnp.swapaxes(R, -1, -2) @ R)
+    return rt_to_mat((s * R).astype(S.dtype), S[..., :3, 3])
+
+
 def se3_inv(T: jax.Array) -> jax.Array:
     """Fast inverse of rigid transform."""
     R, t = mat_to_rt(T)

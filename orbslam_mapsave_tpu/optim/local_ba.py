@@ -330,6 +330,10 @@ def _run_phase(cam, poses, pts, prob, oh, active, robust, n_iters, lam0):
     (poses, pts, lam, _), hist = jax.lax.scan(
         body, (poses, pts, lam0, cur0), None, length=n_iters
     )
+    # project rotations back onto SO(3): chained f32 exp()@pose products
+    # drift off the group, and downstream consumers (tracking's velocity
+    # model, KF re-seeding) amplify the error (see se3.orthonormalize)
+    poses = se3.orthonormalize(poses)
     return poses, pts, hist
 
 

@@ -117,6 +117,9 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20):
         body, (prob.S_init, jnp.asarray(1e-6, prob.S_init.dtype)), None,
         length=n_iters,
     )
+    # chained f32 sim3_exp products drift off scale x SO(3); project back
+    # before the corrected poses are written into the map
+    S = se3.sim3_orthonormalize(S)
     return S, chi2_of(S)
 
 

@@ -135,4 +135,8 @@ def pose_optimization(cam: projection.Camera, pose0_cw: jax.Array,
                       obs: PoseObs):
     """Run the full schedule; returns (pose_cw, inlier_mask, n_inliers)."""
     pose, inlier = _lm_rounds(cam, pose0_cw, obs)
+    # ~40 f32 exp()@pose products leave the rotation slightly off SO(3);
+    # uncorrected, the tracker's velocity feedback amplifies that error
+    # geometrically (see se3.orthonormalize). Project back every call.
+    pose = se3.orthonormalize(pose)
     return pose, inlier, jnp.sum(inlier.astype(jnp.int32))

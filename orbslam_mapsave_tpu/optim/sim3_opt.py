@@ -113,6 +113,8 @@ def optimize_sim3(cam: projection.Camera, S12_init: jax.Array, obs: Sim3Obs,
     _, _, c1, c2, okz = _residuals(cam, S12, obs)
     active = active & okz & (c1 <= CHI2_SIM3_EDGE) & (c2 <= CHI2_SIM3_EDGE)
     S12 = lm_phase(S12, active, jnp.asarray(False), n_b)
+    # project back onto scale x SO(3) (chained f32 sim3_exp products)
+    S12 = se3.sim3_orthonormalize(S12)
     _, _, c1, c2, okz = _residuals(cam, S12, obs)
     inlier = obs.valid & okz & (c1 <= CHI2_SIM3_EDGE) & (c2 <= CHI2_SIM3_EDGE)
     return S12, inlier, jnp.sum(inlier.astype(jnp.int32))

@@ -150,3 +150,39 @@ def test_distort_roundtrip(cam, rng):
     und = np.asarray(projection.undistort_points(cam, jnp.asarray(uv), iters=25))
     xn_back = np.stack([(und[:, 0] - 319.5) / 525.0, (und[:, 1] - 239.5) / 525.0], axis=-1)
     np.testing.assert_allclose(xn_back, xn, atol=1e-6)
+
+
+def test_orthonormalize_recovers_so3(rng):
+    # perturb a rotation off SO(3) at the magnitude where tracking
+    # collapsed (||RR^T - I|| ~ 1e-2) and check full recovery
+    w = rng.uniform(-1, 1, size=(16, 3))
+    R = np.asarray(se3.so3_exp(jnp.asarray(w)))
+    E = rng.uniform(-1e-2, 1e-2, size=(16, 3, 3))
+    T = np.tile(np.eye(4), (16, 1, 1))
+    T[:, :3, :3] = R + E
+    T[:, :3, 3] = rng.uniform(-1, 1, size=(16, 3))
+    out = np.asarray(se3.orthonormalize(jnp.asarray(T)))
+    RRt = out[:, :3, :3] @ np.swapaxes(out[:, :3, :3], -1, -2)
+    np.testing.assert_allclose(RRt, np.tile(np.eye(3), (16, 1, 1)), atol=1e-6)
+    # closest rotation stays near the original
+    d = np.einsum("bij,bkj->bik", out[:, :3, :3], R)
+    ang = np.arccos(np.clip((np.trace(d, axis1=1, axis2=2) - 1) / 2, -1, 1))
+    assert ang.max() < 2e-2
+    np.testing.assert_allclose(out[:, :3, 3], T[:, :3, 3], atol=0)
+
+
+def test_sim3_orthonormalize_preserves_scale(rng):
+    w = rng.uniform(-1, 1, size=(8, 3))
+    R = np.asarray(se3.so3_exp(jnp.asarray(w)))
+    s = rng.uniform(0.5, 2.0, size=(8, 1, 1))
+    E = rng.uniform(-1e-3, 1e-3, size=(8, 3, 3))
+    S = np.tile(np.eye(4), (8, 1, 1))
+    S[:, :3, :3] = s * R + E
+    S[:, :3, 3] = rng.uniform(-1, 1, size=(8, 3))
+    out = np.asarray(se3.sim3_orthonormalize(jnp.asarray(S)))
+    M = out[:, :3, :3]
+    s_out = np.cbrt(np.linalg.det(M))
+    np.testing.assert_allclose(s_out, s[:, 0, 0], rtol=2e-3)
+    Rn = M / s_out[:, None, None]
+    RRt = Rn @ np.swapaxes(Rn, -1, -2)
+    np.testing.assert_allclose(RRt, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
