@@ -25,6 +25,7 @@ solved in closed form — no graph construction, no sparse structures.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -33,6 +34,15 @@ import jax.numpy as jnp
 
 from ..geometry import projection, se3
 from . import lm
+
+
+def _use_pallas() -> bool:
+    """The fused Pallas LM kernel (pose_opt_pallas.py) replaces the XLA
+    LM chain on TPU (~3.6x); CPU (tests, virtual meshes) keeps the XLA
+    path. ORBSLAM_TPU_NO_PALLAS=1 forces the XLA path everywhere."""
+    if os.environ.get("ORBSLAM_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 class PoseObs(NamedTuple):
@@ -134,6 +144,10 @@ def _lm_rounds(cam, pose0, obs, n_rounds=4, n_iters=10):
 def pose_optimization(cam: projection.Camera, pose0_cw: jax.Array,
                       obs: PoseObs):
     """Run the full schedule; returns (pose_cw, inlier_mask, n_inliers)."""
+    if _use_pallas():
+        from . import pose_opt_pallas
+
+        return pose_opt_pallas.pose_optimization_pallas(cam, pose0_cw, obs)
     pose, inlier = _lm_rounds(cam, pose0_cw, obs)
     # ~40 f32 exp()@pose products leave the rotation slightly off SO(3);
     # uncorrected, the tracker's velocity feedback amplifies that error
