@@ -1,0 +1,356 @@
+"""Full-map bundle adjustment: implicit-Schur PCG, scatter-free, TPU-native.
+
+`Optimizer::GlobalBundleAdjustemnt` [sic] / `Optimizer::BundleAdjustment`
+parity (`src/Optimizer.cc:41-237`) at MAP scale: every valid keyframe and
+every valid map point in one problem. The local-BA solver
+(`optim/local_ba.py`) materializes the reduced camera system densely via a
+(L,O,C) one-hot — exactly right for covisibility windows (C <= 64) and
+exactly wrong for a full map (C = 512+, the one-hot alone would be >1 GB).
+
+This solver never materializes S = Hcc - W Hpp^-1 W^T. The map's own dual
+adjacency gives both reduction directions lane-locally, with NO scatters and
+NO one-hot:
+
+- point-major (P, O) tables (`pt_obs_kf/pt_obs_idx`) make every POINT-side
+  reduction (Hpp, gp, W^T x) a lane-local sum;
+- camera-major (K, N) tables (`kf_kp_point`) make every CAMERA-side
+  reduction (Hcc, gc, W z) a lane-local sum;
+- the Schur matvec S @ x chains the two: gather x to point lanes ->
+  W^T x -> Hpp^-1 -> gather back to camera lanes -> W z. Gathers are fast
+  vector loads on TPU; it is scatters that serialize.
+
+The reduced camera system is solved by preconditioned conjugate gradients
+with a block-Jacobi (6x6 diagonal of S) preconditioner — the "blocked PCG"
+called for by SURVEY.md §7.1-5/§7.3 for global systems. LM damping, Huber
+IRLS with the reference gates, gauge fixing on keyframe slot 0
+(`src/Optimizer.cc:98-100`: setFixed(pKF->mnId==0)) and the abort flag
+(`forceStopFlag`, checked between LM iterations) all match the reference's
+semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projection, se3
+from ..slammap import mapstate as ms
+from . import lm
+
+_BEHIND_PENALTY = 1e7  # see local_ba._BEHIND_PENALTY
+
+
+class FullBATables(NamedTuple):
+    """Static structure of the full-map problem in both layouts."""
+
+    # point-major lanes (P,O): one row per map point, one lane per observation
+    po_cam: jax.Array  # (P,O) i32 observing KF slot, -1 pad
+    po_uv: jax.Array  # (P,O,2) undistorted pixels
+    po_ur: jax.Array  # (P,O) right-u, <0 mono
+    po_is2: jax.Array  # (P,O) inv sigma^2
+    po_valid: jax.Array  # (P,O) bool
+    # camera-major lanes (K,N): one row per keyframe, one lane per feature
+    cm_pt: jax.Array  # (K,N) i32 observed point slot, -1 pad
+    cm_uv: jax.Array  # (K,N,2)
+    cm_ur: jax.Array  # (K,N)
+    cm_is2: jax.Array  # (K,N)
+    cm_valid: jax.Array  # (K,N) bool
+    # vertex masks
+    cam_free: jax.Array  # (K,) bool — valid and not gauge-fixed
+    cam_valid: jax.Array  # (K,) bool
+    pt_valid: jax.Array  # (P,) bool
+
+
+def build_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
+                 fixed_mask: jax.Array | None = None) -> FullBATables:
+    """Assemble both edge layouts straight from the SoA map state.
+
+    The forward table (`kf_kp_point`) can hold edges whose reverse lane was
+    dropped at MAX_OBS capacity (`add_observations` skips full rows); such
+    one-sided edges are masked out of the camera-major layout so both
+    layouts describe the SAME edge set — PCG needs the operator consistent.
+    """
+    K, N = state.kf_kp_point.shape
+    P, O = state.pt_obs_kf.shape
+    n_lv = inv_level_sigma2.shape[0]
+
+    # --- point-major ---
+    o_kf = state.pt_obs_kf
+    o_ix = state.pt_obs_idx
+    po_live = (o_kf >= 0) & state.pt_valid[:, None]
+    po_live = po_live & state.kf_valid[jnp.clip(o_kf, 0)]
+    sk, si = jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)
+    po_uv = state.kf_kp_xy[sk, si]
+    po_ur = state.kf_kp_ur[sk, si]
+    po_oct = state.kf_kp_octave[sk, si]
+    po_is2 = inv_level_sigma2[jnp.clip(po_oct, 0, n_lv - 1)]
+
+    # --- camera-major ---
+    c_pt = state.kf_kp_point
+    cm_live = (c_pt >= 0) & state.kf_valid[:, None]
+    cm_live = cm_live & state.pt_valid[jnp.clip(c_pt, 0)]
+    # reverse-lane existence: any lane of pt_obs rows matches (k, n)
+    rev_kf = state.pt_obs_kf[jnp.clip(c_pt, 0)]  # (K,N,O)
+    rev_ix = state.pt_obs_idx[jnp.clip(c_pt, 0)]
+    k_ids = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+    n_ids = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+    has_rev = ((rev_kf == k_ids) & (rev_ix == n_ids)).any(-1)
+    cm_live = cm_live & has_rev
+    cm_uv = state.kf_kp_xy
+    cm_ur = state.kf_kp_ur
+    cm_is2 = inv_level_sigma2[jnp.clip(state.kf_kp_octave, 0, n_lv - 1)]
+
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(K, bool).at[0].set(True)
+    cam_free = state.kf_valid & ~fixed_mask
+    return FullBATables(
+        po_cam=jnp.where(po_live, o_kf, -1), po_uv=po_uv, po_ur=po_ur,
+        po_is2=po_is2, po_valid=po_live,
+        cm_pt=jnp.where(cm_live, c_pt, -1), cm_uv=cm_uv, cm_ur=cm_ur,
+        cm_is2=cm_is2, cm_valid=cm_live,
+        cam_free=cam_free, cam_valid=state.kf_valid,
+        pt_valid=state.pt_valid,
+    )
+
+
+def _edge_terms(cam: projection.Camera, pose_lane, pt_lane, uv, ur, is2):
+    """Residual/Jacobian blocks for one lane layout.
+
+    pose_lane (...,4,4) and pt_lane (...,3) are pre-gathered per lane.
+    Returns r (...,3), Jc (...,3,6), Jp (...,3,3), chi2 (...), ok_z, is_st.
+    Mirrors g2o's mono/stereo projection edges
+    (`types_six_dof_expmap.h:80-174`), stereo row zeroed for mono.
+    """
+    R = pose_lane[..., :3, :3]
+    p_cam = jnp.sum(R * pt_lane[..., None, :], axis=-1) + pose_lane[..., :3, 3]
+    z = p_cam[..., 2]
+    ok_z = z > 1e-6
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * p_cam[..., 0] / zs + cam.cx
+    v = cam.fy * p_cam[..., 1] / zs + cam.cy
+    ur_pred = u - cam.bf / zs
+    is_st = ur >= 0
+    r = jnp.stack(
+        [uv[..., 0] - u, uv[..., 1] - v,
+         jnp.where(is_st, ur - ur_pred, 0.0)], axis=-1,
+    )
+    J_proj = lm.proj_jacobian(p_cam, cam.fx, cam.fy)  # (...,2,3)
+    zi2 = 1.0 / (zs * zs)
+    dur_dp = J_proj[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf * zi2], axis=-1
+    )
+    dur_dp = jnp.where(is_st[..., None], dur_dp, 0.0)
+    A = jnp.concatenate([J_proj, dur_dp[..., None, :]], axis=-2)  # (...,3,3)
+    Jc_pt = lm.point_pose_jacobian(p_cam)  # (...,3,6)
+    Jc = -jnp.sum(A[..., :, :, None] * Jc_pt[..., None, :, :], axis=-2)
+    Jp = -jnp.sum(A[..., :, :, None] * R[..., None, :, :], axis=-2)
+    chi2 = jnp.sum(r * r, -1) * is2
+    return r, Jc, Jp, chi2, ok_z, is_st
+
+
+def _po_terms(cam, poses, pts, tb: FullBATables):
+    pose_lane = poses[jnp.clip(tb.po_cam, 0)]  # (P,O,4,4) gather
+    pt_lane = pts[:, None, :]
+    return _edge_terms(cam, pose_lane, pt_lane, tb.po_uv, tb.po_ur, tb.po_is2)
+
+
+def _cm_terms(cam, poses, pts, tb: FullBATables):
+    pose_lane = poses[:, None]  # broadcast (K,1,4,4)
+    pt_lane = pts[jnp.clip(tb.cm_pt, 0)]  # (K,N,3) gather
+    return _edge_terms(cam, pose_lane, pt_lane, tb.cm_uv, tb.cm_ur, tb.cm_is2)
+
+
+def _accept_cost(cam, poses, pts, tb: FullBATables, robust):
+    """LM acceptance objective over the point-major lanes (Huber chi2 with
+    a fixed penalty for behind-camera projections; see local_ba)."""
+    _, _, _, chi2, ok_z, is_st = _po_terms(cam, poses, pts, tb)
+    delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    d = jnp.sqrt(delta2)
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * d * jnp.sqrt(jnp.maximum(chi2, 0)) - delta2)
+    val = jnp.where(robust, rho, chi2)
+    val = jnp.where(ok_z, val, _BEHIND_PENALTY)
+    val = jnp.where(jnp.isfinite(val), val, _BEHIND_PENALTY)
+    return jnp.sum(jnp.where(tb.po_valid, val, 0.0))
+
+
+def _weights(chi2, ok_z, live, is2, is_st, robust):
+    delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    w_rob = jnp.where(robust, lm.huber_weight(chi2, delta2), 1.0)
+    return jnp.where(live & ok_z, is2 * w_rob, 0.0)
+
+
+def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
+               cg_iters: int, cg_tol: float):
+    """One damped LM step via PCG on the implicit Schur complement.
+
+    Returns (dx_cam (K,6), dx_pt (P,3)). All reductions lane-local; the
+    only cross-layout traffic is two gathers per matvec.
+    """
+    K = poses.shape[0]
+    dtype = pts.dtype
+
+    # ---- point-major blocks ----
+    r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(cam, poses, pts, tb)
+    free_lane_po = tb.cam_free[jnp.clip(tb.po_cam, 0)] & tb.po_valid
+    Jc_po = jnp.where(free_lane_po[..., None, None], Jc_po, 0.0)
+    w_po = _weights(chi2_po, okz_po, tb.po_valid, tb.po_is2, st_po, robust)
+    wJp = Jp_po * w_po[..., None, None]
+    wJc = Jc_po * w_po[..., None, None]
+    Hpp = jnp.sum(wJp[..., :, :, None] * Jp_po[..., :, None, :],
+                  axis=(1, 2))  # (P,3,3)
+    gp = -jnp.sum(wJp * r_po[..., None], axis=(1, 2))  # (P,3)
+    W_po = jnp.sum(wJc[..., :, :, None] * Jp_po[..., :, None, :],
+                   axis=-3)  # (P,O,6,3)
+
+    pt_has = (jnp.sum(w_po, -1) > 0) & tb.pt_valid
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp_diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + eye3 * (lam * Hpp_diag + 1e-8)[..., None]
+    Hpp_inv = lm.inv3x3(jnp.where(pt_has[:, None, None], Hpp_d, eye3[None]))
+    Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
+
+    # ---- camera-major blocks (same edges, same weights by construction) ----
+    r_cm, Jc_cm, Jp_cm, chi2_cm, okz_cm, st_cm = _cm_terms(cam, poses, pts, tb)
+    free_row = tb.cam_free[:, None] & tb.cm_valid
+    Jc_cm = jnp.where(free_row[..., None, None], Jc_cm, 0.0)
+    w_cm = _weights(chi2_cm, okz_cm, tb.cm_valid, tb.cm_is2, st_cm, robust)
+    wJc_cm = Jc_cm * w_cm[..., None, None]
+    Hcc = jnp.sum(wJc_cm[..., :, :, None] * Jc_cm[..., :, None, :],
+                  axis=-3).sum(1)  # (K,6,6)
+    gc = -jnp.sum(wJc_cm * r_cm[..., None], axis=(1, 2))  # (K,6)
+    W_cm = jnp.sum(wJc_cm[..., :, :, None] * Jp_cm[..., :, None, :],
+                   axis=-3)  # (K,N,6,3)
+
+    # damped camera diagonal; identity rows for fixed/invalid cams
+    eye6 = jnp.eye(6, dtype=dtype)
+    Hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    Hcc_d = Hcc + eye6 * (lam * Hcc_diag + 1e-8)[..., None]
+    Hcc_d = jnp.where(tb.cam_free[:, None, None], Hcc_d, eye6[None])
+
+    Hinv_pt_cm = Hpp_inv[jnp.clip(tb.cm_pt, 0)]  # (K,N,3,3) gather
+
+    def matvec(x):  # x (K,6) -> (K,6)
+        a = jnp.sum(Hcc_d * x[:, None, :], axis=-1)  # (K,6)
+        x_lane = x[jnp.clip(tb.po_cam, 0)]  # (P,O,6)
+        t = jnp.sum(W_po * x_lane[..., :, None], axis=(1, 2))  # (P,3)
+        z = jnp.sum(Hpp_inv * t[:, None, :], axis=-1)  # (P,3)
+        z_lane = z[jnp.clip(tb.cm_pt, 0)]  # (K,N,3)
+        b = jnp.sum(jnp.sum(W_cm * z_lane[..., None, :], axis=-1),
+                    axis=1)  # (K,6)
+        return a - b
+
+    # rhs = gc - W Hpp^-1 gp
+    gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
+    gp_lane = gp_z[jnp.clip(tb.cm_pt, 0)]
+    rhs = gc - jnp.sum(jnp.sum(W_cm * gp_lane[..., None, :], axis=-1), axis=1)
+    rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
+
+    # block-Jacobi preconditioner: exact 6x6 diagonal of S
+    WHW = jnp.einsum("knab,knbc,kndc->knad", W_cm, Hinv_pt_cm, W_cm,
+                     precision=lm.HI)  # (K,N,6,6)
+    S_diag = Hcc_d - jnp.sum(WHW, axis=1)
+    S_diag = jnp.where(tb.cam_free[:, None, None], S_diag, eye6[None])
+    Minv = jnp.linalg.inv(S_diag)
+    Minv = jnp.where(jnp.isfinite(Minv), Minv, eye6[None])
+
+    def apply_minv(r):
+        return jnp.sum(Minv * r[:, None, :], axis=-1)
+
+    # ---- PCG ----
+    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+    tol = cg_tol * jnp.maximum(rhs_norm, 1e-20)
+    x0 = jnp.zeros((K, 6), dtype)
+    r0 = rhs
+    z0 = apply_minv(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(carry):
+        i, x, r, p, rz = carry
+        return (i < cg_iters) & (jnp.sqrt(jnp.sum(r * r)) > tol)
+
+    def body(carry):
+        i, x, r, p, rz = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    _, dx_cam, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+    dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None], dx_cam, 0.0)
+
+    # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)
+    dx_lane = dx_cam[jnp.clip(tb.po_cam, 0)]
+    Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))  # (P,3)
+    dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
+    dx_pt = jnp.where((pt_has & tb.pt_valid)[:, None], dx_pt, 0.0)
+    dx_pt = jnp.where(jnp.isfinite(dx_pt), dx_pt, 0.0)
+    return dx_cam, dx_pt
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
+                           inv_level_sigma2: jax.Array,
+                           n_iters: int = 10, robust: bool = False,
+                           cg_iters: int = 100, cg_tol: float = 1e-3,
+                           abort: jax.Array | None = None,
+                           fixed_mask: jax.Array | None = None):
+    """Full-map BA over EVERY valid keyframe and point.
+
+    Parity: the loop-closing GBA runs 10 non-robust iterations
+    (`src/LoopClosing.cc:647` -> `Optimizer.cc:41-47` with bRobust=false);
+    the mono-init GBA runs 20 robust ones (`src/Tracking.cc:931`). `abort`
+    mirrors `mbStopGBA`/forceStopFlag: checked between LM iterations, a set
+    flag freezes the remaining iterations (the reference discards the
+    result; freezing keeps jit shapes static — callers check the flag).
+
+    Returns (kf_pose (K,4,4), pt_pos (P,3), final_cost).
+    """
+    tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
+    poses = state.kf_pose
+    pts = state.pt_pos
+    robust_flag = jnp.asarray(robust)
+    if abort is None:
+        abort = jnp.asarray(False)
+    cur0 = _accept_cost(cam, poses, pts, tb, robust_flag)
+    free = tb.cam_free[:, None]
+
+    def body(carry, _):
+        poses, pts, lam, cur = carry
+
+        def step(args):
+            poses, pts, lam, cur = args
+            dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
+                                  cg_iters, cg_tol)
+            new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
+            new_pts = pts + dxp
+            new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag)
+            accept = new < cur
+            poses_ = jnp.where(accept, new_poses, poses)
+            pts_ = jnp.where(accept, new_pts, pts)
+            cur_ = jnp.where(accept, new, cur)
+            lam_ = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0),
+                            1e-9, 1e8)
+            return poses_, pts_, lam_, cur_
+
+        poses, pts, lam, cur = jax.lax.cond(
+            abort, lambda a: a, step, (poses, pts, lam, cur)
+        )
+        return (poses, pts, lam, cur), cur
+
+    (poses, pts, _, cost), _ = jax.lax.scan(
+        body, (poses, pts, jnp.asarray(1e-4, pts.dtype), cur0), None,
+        length=n_iters,
+    )
+    poses = se3.orthonormalize(poses)
+    return poses, pts, cost

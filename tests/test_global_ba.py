@@ -1,0 +1,136 @@
+"""Full-map bundle adjustment (implicit-Schur PCG): synthetic map states
+with known ground truth, beyond the dense local-BA camera cap."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam_mapsave_tpu.geometry import projection, se3
+from orbslam_mapsave_tpu.optim import global_ba
+from orbslam_mapsave_tpu.slammap import mapstate as ms
+
+FX, FY, CX, CY, BF = 320.0, 320.0, 160.0, 120.0, 25.0
+
+
+def make_map_state(rng, n_kf=12, n_pt=400, obs_per_pt=5, noise=0.2,
+                   pose_noise=0.04, pt_noise=0.08, stereo=True,
+                   kf_cap=None, pt_cap=None, n_feat=None):
+    """Directly build a consistent SoA MapState (fwd + reverse tables)."""
+    cam = projection.Camera.create(FX, FY, CX, CY, bf=BF, width=320, height=240)
+    kf_cap = kf_cap or n_kf
+    pt_cap = pt_cap or n_pt
+    n_feat = n_feat or (n_pt * obs_per_pt // n_kf + 8)
+
+    pts_true = np.stack([
+        rng.uniform(-3, 3, n_pt), rng.uniform(-2, 2, n_pt),
+        rng.uniform(5, 10, n_pt),
+    ], -1)
+    poses_true = np.zeros((n_kf, 4, 4))
+    for c in range(n_kf):
+        xi = np.concatenate([
+            [0.25 * c, 0.03 * c, 0.02 * c], rng.normal(size=3) * 0.02
+        ])
+        poses_true[c] = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+
+    state = ms.empty_map(kf_cap, pt_cap, n_feat)
+    h = {f: np.asarray(getattr(state, f)).copy() for f in state._fields
+         if f not in ("n_kf", "n_pt")}
+    feat_count = np.zeros(n_kf, np.int64)
+    for p in range(n_pt):
+        cams = rng.choice(n_kf, size=min(obs_per_pt, n_kf), replace=False)
+        for lane, c in enumerate(cams):
+            pc = poses_true[c, :3, :3] @ pts_true[p] + poses_true[c, :3, 3]
+            if pc[2] < 0.1:
+                continue
+            u = FX * pc[0] / pc[2] + CX + rng.normal() * noise
+            v = FY * pc[1] / pc[2] + CY + rng.normal() * noise
+            n = feat_count[c]
+            if n >= n_feat:
+                continue
+            feat_count[c] += 1
+            h["kf_kp_xy"][c, n] = (u, v)
+            h["kf_kp_valid"][c, n] = True
+            if stereo:
+                h["kf_kp_ur"][c, n] = u - BF / pc[2] + rng.normal() * noise
+            h["kf_kp_point"][c, n] = p
+            h["pt_obs_kf"][p, lane] = c
+            h["pt_obs_idx"][p, lane] = n
+            h["pt_obs_oct"][p, lane] = 0
+    # perturbed initial values (cam 0 fixed at truth = gauge)
+    poses0 = poses_true.copy()
+    for c in range(1, n_kf):
+        xi = rng.normal(size=6) * pose_noise
+        poses0[c] = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ poses_true[c]
+    h["kf_pose"][:n_kf] = poses0
+    h["kf_valid"][:n_kf] = True
+    h["pt_pos"][:n_pt] = pts_true + rng.normal(size=pts_true.shape) * pt_noise
+    h["pt_valid"][:n_pt] = True
+    h["pt_ref_kf"][:n_pt] = 0
+    state = state._replace(
+        n_kf=jnp.asarray(n_kf, jnp.int32), n_pt=jnp.asarray(n_pt, jnp.int32),
+        **{k: jnp.asarray(v) for k, v in h.items()},
+    )
+    return cam, state, poses_true, pts_true
+
+
+def mean_pose_err(est, true, valid=None):
+    errs = []
+    for i, (a, b) in enumerate(zip(np.asarray(est), true)):
+        if valid is not None and not valid[i]:
+            continue
+        errs.append(np.linalg.norm(
+            np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(b) @ a)))
+        ))
+    return float(np.mean(errs))
+
+
+def test_full_ba_converges(rng):
+    cam, state, poses_true, pts_true = make_map_state(rng, noise=0.0)
+    isig = jnp.ones(4, jnp.float32)
+    err0 = mean_pose_err(np.asarray(state.kf_pose)[:12], poses_true)
+    poses, pts, cost = global_ba.full_bundle_adjustment(
+        cam, state, isig, n_iters=12, robust=False)
+    err1 = mean_pose_err(np.asarray(poses)[:12], poses_true)
+    assert err1 < err0 * 0.05, (err0, err1)
+    pt_err = np.linalg.norm(
+        np.asarray(pts)[:400] - pts_true, axis=-1).mean()
+    assert pt_err < 0.02, pt_err
+
+
+def test_full_ba_beyond_dense_cap(rng):
+    """More cameras than the dense local-BA C_CAP=64 — the PCG regime."""
+    cam, state, poses_true, pts_true = make_map_state(
+        rng, n_kf=80, n_pt=1500, obs_per_pt=6, noise=0.3, pose_noise=0.05)
+    isig = jnp.ones(4, jnp.float32)
+    err0 = mean_pose_err(np.asarray(state.kf_pose)[:80], poses_true)
+    poses, pts, cost = global_ba.full_bundle_adjustment(
+        cam, state, isig, n_iters=15, robust=True)
+    err1 = mean_pose_err(np.asarray(poses)[:80], poses_true)
+    assert err1 < err0 * 0.05, (err0, err1)
+
+
+def test_full_ba_respects_gauge_and_invalid(rng):
+    cam, state, poses_true, pts_true = make_map_state(
+        rng, n_kf=10, n_pt=300, kf_cap=16, pt_cap=512)
+    # invalidate one keyframe + its edges stay untouched
+    kf_valid = np.asarray(state.kf_valid).copy()
+    kf_valid[7] = False
+    state = state._replace(kf_valid=jnp.asarray(kf_valid))
+    isig = jnp.ones(4, jnp.float32)
+    poses, pts, _ = global_ba.full_bundle_adjustment(
+        cam, state, isig, n_iters=8)
+    np.testing.assert_allclose(np.asarray(poses[0]),
+                               np.asarray(state.kf_pose[0]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(poses[7]),
+                               np.asarray(state.kf_pose[7]), atol=1e-7)
+    # padded (invalid) slots untouched
+    np.testing.assert_allclose(np.asarray(poses[12]), np.eye(4), atol=1e-7)
+
+
+def test_full_ba_abort_freezes(rng):
+    cam, state, poses_true, _ = make_map_state(rng, n_kf=8, n_pt=200)
+    isig = jnp.ones(4, jnp.float32)
+    poses, pts, _ = global_ba.full_bundle_adjustment(
+        cam, state, isig, n_iters=6, abort=jnp.asarray(True))
+    # abort set from the start: nothing moves (beyond orthonormalization)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(state.kf_pose),
+                               atol=1e-5)
