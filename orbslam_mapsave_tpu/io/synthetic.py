@@ -161,14 +161,41 @@ def orbit_trajectory(n_frames: int, radius: float = 0.5, height: float = 0.0,
     return poses
 
 
+def circle_trajectory(n_frames: int, radius: float = 0.55,
+                      revs: float = 1.05, height_bob: float = 0.05,
+                      ) -> np.ndarray:
+    """Camera on a circle looking radially outward, completing `revs`
+    revolutions — the canonical loop-closure fixture: after 360° the view
+    re-observes the start with whatever drift the front-end accumulated.
+
+    Returns (N,4,4) camera->world poses.
+    """
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        th = 2 * np.pi * revs * i / n_frames
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])  # cam z -> outward
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = [radius * s, height_bob * np.sin(4 * th), radius * c]
+        poses[i] = T
+    return poses
+
+
 def write_tum_sequence(out_dir: str | Path, K: np.ndarray, poses_wc: np.ndarray,
                        width: int = 640, height: int = 480, fps: float = 30.0,
                        depth_factor: float = 5000.0, seed: int = 0,
-                       half_size: float = 2.0, t0: float = 1000.0) -> Path:
+                       half_size: float = 2.0, t0: float = 1000.0,
+                       depth_scale_fn=None) -> Path:
     """Render a BoxRoom trajectory to a TUM-format directory.
 
     Writes rgb/, depth/, rgb.txt, depth.txt, groundtruth.txt. Ground-truth
     lines are TUM format (t tx ty tz qx qy qz qw) with camera->world poses.
+
+    depth_scale_fn(i) -> float, if given, multiplies frame i's depth map —
+    a controlled sensor-miscalibration injector: a slowly varying scale
+    error makes RGB-D odometry accumulate REAL drift that only loop closure
+    can remove (used by the loop-closing e2e tests).
     """
     from PIL import Image
 
@@ -185,6 +212,8 @@ def write_tum_sequence(out_dir: str | Path, K: np.ndarray, poses_wc: np.ndarray,
         rgb_name = f"rgb/{t:.6f}.png"
         depth_name = f"depth/{t:.6f}.png"
         Image.fromarray(gray.astype(np.uint8)).save(out / rgb_name)
+        if depth_scale_fn is not None:
+            depth = depth * float(depth_scale_fn(i))
         d16 = np.clip(depth * depth_factor, 0, 65535).astype(np.uint16)
         Image.fromarray(d16).save(out / depth_name)
         rgb_lines.append(f"{t:.6f} {rgb_name}")

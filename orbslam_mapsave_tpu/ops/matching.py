@@ -270,6 +270,129 @@ def search_for_triangulation(
     return jnp.where(good, idx, -1), jnp.sum(good.astype(jnp.int32))
 
 
+def _sim3_direction(cam, pt_world, pt_ok, pt_min, pt_max, pt_bits,
+                    S_target_w, center_w,
+                    kp_xy, kp_octave, kp_bits, kp_valid,
+                    bounds, scale_factors, th, n_levels, scale_factor):
+    """One direction of SearchBySim3: project source points through the
+    Sim3 chain into the target camera, best-descriptor match within
+    th*scale(predicted level), octave in [lvl-1, lvl], TH_HIGH gate
+    (`src/ORBmatcher.cc:1151-1227`). Returns (match (P,), dist (P,))."""
+    p_c = se3.sim3_transform_points(S_target_w, pt_world)
+    z = p_c[..., 2]
+    uv, _ = projection.project(cam, p_c)
+    dist3d = jnp.linalg.norm(p_c, axis=-1)
+    ok = (
+        pt_ok & (z > 0)
+        & (uv[..., 0] >= bounds[0]) & (uv[..., 0] < bounds[1])
+        & (uv[..., 1] >= bounds[2]) & (uv[..., 1] < bounds[3])
+        & (dist3d >= pt_min) & (dist3d <= pt_max)
+    )
+    lvl = predict_scale(dist3d, pt_max, scale_factor, n_levels)
+    radius = th * scale_factors[lvl]
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, -1)
+    in_win = d2 <= (radius[:, None] ** 2)
+    oct_ok = (kp_octave[None, :] >= (lvl - 1)[:, None]) & (
+        kp_octave[None, :] <= lvl[:, None]
+    )
+    mask = in_win & oct_ok & kp_valid[None, :] & ok[:, None]
+    dmat = hamming.hamming_matrix_bits(pt_bits, kp_bits)
+    idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
+    good = ok & (best <= hamming.TH_HIGH)
+    del center_w
+    return jnp.where(good, idx, -1), best
+
+
+def search_by_sim3(
+    cam: projection.Camera, T1w: jax.Array, T2w: jax.Array, S12: jax.Array,
+    # KF1 per-feature tables, with the point each feature holds (world pos)
+    kp1_xy, kp1_octave, kp1_bits, kp1_valid, p1_world, p1_ok, p1_min, p1_max,
+    p1_bits,
+    # KF2 per-feature tables
+    kp2_xy, kp2_octave, kp2_bits, kp2_valid, p2_world, p2_ok, p2_min, p2_max,
+    p2_bits,
+    already1: jax.Array, already2: jax.Array,
+    bounds: jax.Array, scale_factors: jax.Array,
+    th: float = 7.5, n_levels: int = 4, scale_factor: float = 1.5,
+):
+    """`ORBmatcher::SearchBySim3` (`src/ORBmatcher.cc:1105-1329`): extend a
+    Sim3-inlier match set by projecting KF1's points into KF2 through
+    S21 ∘ T1w and KF2's points into KF1 through S12 ∘ T2w, keeping mutually
+    agreeing pairs. S12 maps cam-2 coords to cam-1 coords (solver output).
+
+    `already1/already2` mark features whose points are in the existing
+    match set (skipped as sources, `:1135-1145`). Returns
+    (matches12 (N1,) feature idx in KF2 or -1, n_found).
+    """
+    N1 = kp1_xy.shape[0]
+    S21 = se3.sim3_inv(S12)
+    # source points of KF1 -> target camera 2: S21 ∘ T1w (T1w is scale-1 Sim3)
+    S2_of_w = S21 @ T1w
+    m1, _ = _sim3_direction(
+        cam, p1_world, p1_ok & ~already1, p1_min, p1_max, p1_bits,
+        S2_of_w, None, kp2_xy, kp2_octave, kp2_bits, kp2_valid,
+        bounds, scale_factors, th, n_levels, scale_factor)
+    S1_of_w = S12 @ T2w
+    m2, _ = _sim3_direction(
+        cam, p2_world, p2_ok & ~already2, p2_min, p2_max, p2_bits,
+        S1_of_w, None, kp1_xy, kp1_octave, kp1_bits, kp1_valid,
+        bounds, scale_factors, th, n_levels, scale_factor)
+    # agreement (`:1310-1326`): m1[i1] = i2 and m2[i2] = i1
+    i2 = m1  # (N1,)
+    back = jnp.where(i2 >= 0, m2[jnp.clip(i2, 0)], -2)
+    agree = back == jnp.arange(N1, dtype=back.dtype)
+    matches12 = jnp.where(agree, i2, -1)
+    return matches12, jnp.sum(agree.astype(jnp.int32))
+
+
+def search_by_projection_scw(
+    cam: projection.Camera, Scw: jax.Array,
+    pt_world, pt_ok, pt_min, pt_max, pt_normal, pt_bits,
+    kp_xy, kp_octave, kp_bits, kp_valid, kp_matched,
+    bounds: jax.Array, scale_factors: jax.Array,
+    th: float = 10.0, n_levels: int = 4, scale_factor: float = 1.5,
+):
+    """`ORBmatcher::SearchByProjection(KF, Scw, ...)`
+    (`src/ORBmatcher.cc:293-406`): project candidate points through a Sim3
+    camera pose, gates: depth > 0, in-image, scale-invariance distance band
+    (measured from the Sim3 camera center, `:348-353`), viewing angle < 60°
+    (`:356-359`), octave in [lvl-1, lvl], radius th*scale(lvl), TH_LOW.
+    `kp_matched` features are excluded (`:378-379`). Returns
+    (matches (N,) candidate row or -1, n)."""
+    N = kp_xy.shape[0]
+    s, R, t = se3.sim3_split(Scw)
+    Rcw = R
+    tcw = t / s
+    p_c = pt_world @ Rcw.T + tcw
+    z = p_c[..., 2]
+    uv, _ = projection.project(cam, p_c)
+    Ow = -Rcw.T @ tcw
+    po = pt_world - Ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    view = jnp.sum(po * pt_normal, -1)
+    ok = (
+        pt_ok & (z > 0)
+        & (uv[..., 0] >= bounds[0]) & (uv[..., 0] < bounds[1])
+        & (uv[..., 1] >= bounds[2]) & (uv[..., 1] < bounds[3])
+        & (dist >= pt_min) & (dist <= pt_max)
+        & (view >= 0.5 * dist)
+    )
+    lvl = predict_scale(dist, pt_max, scale_factor, n_levels)
+    radius = th * scale_factors[lvl]
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, -1)
+    in_win = d2 <= (radius[:, None] ** 2)
+    oct_ok = (kp_octave[None, :] >= (lvl - 1)[:, None]) & (
+        kp_octave[None, :] <= lvl[:, None]
+    )
+    mask = in_win & oct_ok & kp_valid[None, :] & ok[:, None] & \
+        (~kp_matched)[None, :]
+    dmat = hamming.hamming_matrix_bits(pt_bits, kp_bits)
+    idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
+    good = ok & (best <= hamming.TH_LOW)
+    matches = _resolve_conflicts(idx, best, good, N)
+    return matches, jnp.sum((matches >= 0).astype(jnp.int32))
+
+
 def search_by_descriptor(desc_bits_1: jax.Array, valid_1: jax.Array,
                          desc_bits_2: jax.Array, valid_2: jax.Array,
                          angle_1: jax.Array | None = None,

@@ -201,7 +201,8 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
                        cam: projection.Camera, bounds: jax.Array,
                        scale_factors: jax.Array, inv_level_sigma2: jax.Array,
                        n_levels: int, scale_factor: float,
-                       th: float = 3.0) -> ms.MapState:
+                       th: float = 3.0,
+                       prefer_candidate: bool = False) -> ms.MapState:
     """`ORBmatcher::Fuse` into one keyframe (`src/ORBmatcher.cc:828-978`):
     project candidate points into kf; for the best feature within
     th*scale(predicted level) passing the chi2 gate and Hamming<=TH_LOW:
@@ -209,6 +210,11 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
     `MapPoint::Replace`) or add a new observation.
 
     cand_idx: (L,) unique point slots (-1 padded).
+
+    prefer_candidate=True is the loop-fusion variant
+    (`LoopClosing::SearchAndFuse`, `src/LoopClosing.cc:585-611`): the
+    keyframe's existing point is ALWAYS replaced by the loop candidate
+    (`pRep->Replace(mvpLoopMapPoints[i])`), regardless of observation count.
     """
     from ..ops import hamming, matching
 
@@ -262,8 +268,12 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
         cand_pt >= 0
     )
     # keep the more-observed point; tie keeps the candidate (ORBmatcher.cc:
-    # 950-955: pMPinKF.obs > pMP.obs -> pMP replaced by pMPinKF)
-    keep_exist = obs_exist > obs_cand
+    # 950-955: pMPinKF.obs > pMP.obs -> pMP replaced by pMPinKF). In the
+    # loop-fusion variant the candidate (loop point) always wins.
+    if prefer_candidate:
+        keep_exist = jnp.zeros_like(obs_exist, bool)
+    else:
+        keep_exist = obs_exist > obs_cand
     src = jnp.where(merge, jnp.where(keep_exist, cand_pt, existing), -1)
     dst = jnp.where(merge, jnp.where(keep_exist, existing, cand_pt), -1)
     state = ms.merge_points(state, src, dst, merge)

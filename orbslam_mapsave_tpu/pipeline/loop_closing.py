@@ -9,12 +9,15 @@ orchestration over jitted kernels:
   threshold 3 (`:153-226`, `mnCovisibilityConsistencyTh` `:43`);
 - `ComputeSim3` (`:232-401`): >= 20 descriptor matches (`:268`), RANSAC
   Sim3 (ops/sim3solver.py, 300 hyp, fix_scale for stereo/RGB-D),
-  `OptimizeSim3` >= 20 inliers (`:327-331`), neighbourhood projection
-  search accepting >= 40 total (`:386`);
+  `SearchBySim3` guided extension th=7.5 (`:324`), `OptimizeSim3` >= 20
+  inliers (`:327-331`), Scw projection search over the loop neighbourhood
+  th=10 accepting >= 40 total matched features (`:376-386`);
 - `CorrectLoop` (`:403-583`): Sim3 propagation to the covisible window
-  (`:436-467`), point re-mapping (`:469-499`), fuse, essential-graph
-  optimization (optim/pose_graph.py), then global BA (the reference spawns
-  a thread `:571-575`; here it runs bounded in-line).
+  (`:436-467`), point re-mapping (`:469-499`), loop-point fusion of the
+  matched features (`:516-533`), `SearchAndFuse` over the corrected window
+  (`:585-611`), essential-graph optimization (optim/pose_graph.py), then a
+  global-BA job (pipeline/gba.py — the reference's 4th thread `:571-575`)
+  applied asynchronously with correction propagation.
 """
 
 from __future__ import annotations
@@ -27,12 +30,15 @@ import numpy as np
 
 from ..geometry import projection, se3
 from ..ops import hamming, matching, sim3solver
-from ..optim import local_ba, pose_graph, sim3_opt
+from ..optim import pose_graph, sim3_opt
 from ..slammap import mapstate as ms
 from ..vocab import database, vocabulary
+from . import gba as gba_mod
+from . import local_mapping
 
 CONSISTENCY_TH = 3  # LoopClosing.cc:43
 REFRACTORY_KFS = 10  # LoopClosing.cc:115
+LOOP_PT_CAP = 4096  # loop-neighbourhood point window for fusion
 
 
 @dataclasses.dataclass
@@ -49,7 +55,8 @@ class LoopCloser:
     def __init__(self, cam: projection.Camera, inv_level_sigma2,
                  voc: vocabulary.Vocabulary | None,
                  fix_scale: bool = True, enable_gba: bool = True,
-                 gba_iters: int = 10):
+                 gba_iters: int = 10, scale_factors=None,
+                 n_levels: int = 4, scale_factor: float = 1.5):
         self.cam = cam
         self.voc = voc
         self.fix_scale = fix_scale
@@ -57,6 +64,12 @@ class LoopCloser:
         self.gba_iters = gba_iters
         self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
         self.level_sigma2 = 1.0 / self.inv_level_sigma2
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
+        self.scale_factors = jnp.asarray(
+            scale_factors if scale_factors is not None
+            else [scale_factor**i for i in range(n_levels)], jnp.float32)
+        self.bounds = projection.compute_image_bounds(cam)
         self.bow_store = None
         self.transform = None
         if voc is not None:
@@ -64,6 +77,7 @@ class LoopCloser:
         self.last_loop_kf = -REFRACTORY_KFS - 1
         self.consistent_groups: list[tuple[set, int]] = []
         self.events: list[LoopEvent] = []
+        self.pending_gba: gba_mod.GBAJob | None = None
 
     # -- BoW bookkeeping ---------------------------------------------------
     def _ensure_store(self, state: ms.MapState):
@@ -93,11 +107,12 @@ class LoopCloser:
         result = self._compute_sim3(state, kf, cand)
         if result is None:
             return state
-        S_cur_loop, match_kf, n_inl = result
+        S_cur_loop, match_kf, n_inl, matched_pt, loop_pts = result
         self.events.append(LoopEvent(kf, match_kf, n_inl))
         self.last_loop_kf = kf
         self.consistent_groups.clear()
-        return self._correct_loop(state, kf, match_kf, S_cur_loop)
+        return self._correct_loop(state, kf, match_kf, S_cur_loop,
+                                  matched_pt, loop_pts)
 
     # -- DetectLoop --------------------------------------------------------
     def _detect_loop(self, state: ms.MapState, kf: int, bow) -> int | None:
@@ -140,15 +155,28 @@ class LoopCloser:
         return int(max(enough, key=lambda c: s[c]))
 
     # -- ComputeSim3 -------------------------------------------------------
+    def _per_feature_points(self, state: ms.MapState, kf: int):
+        """Gather each feature's point data (world pos, distance band,
+        distinctive descriptor bits) aligned to the feature axis."""
+        pts = state.kf_kp_point[kf]
+        ok = state.kf_kp_valid[kf] & (pts >= 0)
+        safe = jnp.clip(pts, 0)
+        ok = ok & state.pt_valid[safe]
+        return dict(
+            ids=pts, ok=ok,
+            world=state.pt_pos[safe],
+            mind=0.8 * state.pt_min_dist[safe],
+            maxd=1.2 * state.pt_max_dist[safe],
+            bits=hamming.unpack_bits(state.pt_desc[safe]),
+        )
+
     def _compute_sim3(self, state: ms.MapState, kf: int, cand: int):
         b1 = hamming.unpack_bits(state.kf_desc[kf])
         b2 = hamming.unpack_bits(state.kf_desc[cand])
-        pts1 = state.kf_kp_point[kf]
-        pts2 = state.kf_kp_point[cand]
-        ok1 = state.kf_kp_valid[kf] & (pts1 >= 0)
-        ok2 = state.kf_kp_valid[cand] & (pts2 >= 0)
+        f1 = self._per_feature_points(state, kf)
+        f2 = self._per_feature_points(state, cand)
         matches, n = matching.search_by_descriptor(
-            b1, ok1, b2, ok2,
+            b1, f1["ok"], b2, f2["ok"],
             state.kf_kp_angle[kf], state.kf_kp_angle[cand],
             th=hamming.TH_LOW, nn_ratio=0.75,
         )
@@ -157,12 +185,10 @@ class LoopCloser:
         m = np.asarray(matches)
         sel1 = np.nonzero(m >= 0)[0]
         sel2 = m[sel1]
-        p1_ids = np.asarray(pts1)[sel1]
-        p2_ids = np.asarray(pts2)[sel2]
         T1 = state.kf_pose[kf]
         T2 = state.kf_pose[cand]
-        pw1 = state.pt_pos[jnp.asarray(p1_ids)]
-        pw2 = state.pt_pos[jnp.asarray(p2_ids)]
+        pw1 = f1["world"][jnp.asarray(sel1)]
+        pw2 = f2["world"][jnp.asarray(sel2)]
         pc1 = se3.transform_points(T1, pw1)
         pc2 = se3.transform_points(T2, pw2)
         uv1 = state.kf_kp_xy[kf][jnp.asarray(sel1)]
@@ -182,72 +208,114 @@ class LoopCloser:
         )
         if not bool(ok):
             return None
+
+        # guided extension (`SearchBySim3`, ORBmatcher.cc:1105-1329):
+        # keep the RANSAC inliers as the base match set, extend by
+        # bidirectional Sim3 projection with mutual agreement
+        inl_np = np.asarray(inl)
+        N = b1.shape[0]
+        match12 = np.full(N, -1, np.int64)  # feature of kf -> feature of cand
+        match12[sel1[inl_np]] = sel2[inl_np]
+        already1 = jnp.asarray(match12 >= 0)
+        already2_np = np.zeros(N, bool)
+        already2_np[match12[match12 >= 0]] = True
+        extra12, _ = matching.search_by_sim3(
+            self.cam, T1, T2, S12,
+            state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
+            state.kf_kp_valid[kf], f1["world"], f1["ok"], f1["mind"],
+            f1["maxd"], f1["bits"],
+            state.kf_kp_xy[cand], state.kf_kp_octave[cand], b2,
+            state.kf_kp_valid[cand], f2["world"], f2["ok"], f2["mind"],
+            f2["maxd"], f2["bits"],
+            already1, jnp.asarray(already2_np),
+            self.bounds, self.scale_factors, th=7.5,
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
+        )
+        extra_np = np.asarray(extra12)
+        fresh = (match12 < 0) & (extra_np >= 0)
+        match12[fresh] = extra_np[fresh]
+
+        # Sim3 optimization over the extended set (OptimizeSim3, :327-331)
+        s1 = np.nonzero(match12 >= 0)[0]
+        s2 = match12[s1]
+        pc1e = se3.transform_points(T1, f1["world"][jnp.asarray(s1)])
+        pc2e = se3.transform_points(T2, f2["world"][jnp.asarray(s2)])
+        o1 = np.asarray(state.kf_kp_octave[kf])[s1]
+        o2 = np.asarray(state.kf_kp_octave[cand])[s2]
         obs = sim3_opt.Sim3Obs(
-            pc1=pc1, pc2=pc2, uv1=uv1, uv2=uv2,
-            inv_sigma2_1=jnp.asarray(1.0 / ls2[np.clip(oct1, 0, len(ls2) - 1)],
-                                     jnp.float32),
-            inv_sigma2_2=jnp.asarray(1.0 / ls2[np.clip(oct2, 0, len(ls2) - 1)],
-                                     jnp.float32),
-            valid=inl,
+            pc1=pc1e, pc2=pc2e,
+            uv1=state.kf_kp_xy[kf][jnp.asarray(s1)],
+            uv2=state.kf_kp_xy[cand][jnp.asarray(s2)],
+            inv_sigma2_1=jnp.asarray(
+                1.0 / ls2[np.clip(o1, 0, len(ls2) - 1)], jnp.float32),
+            inv_sigma2_2=jnp.asarray(
+                1.0 / ls2[np.clip(o2, 0, len(ls2) - 1)], jnp.float32),
+            valid=jnp.ones(len(s1), bool),
         )
         S12_opt, inl2, n2 = sim3_opt.optimize_sim3(
             self.cam, S12, obs, self.fix_scale
         )
         if int(n2) < 20:  # LoopClosing.cc:327-331
             return None
-        # widen: project the loop KF's neighbourhood points into the current
-        # KF through S12 and count total matches (accept >= 40, :386)
-        total = self._count_neighbourhood_matches(state, kf, cand, S12_opt)
-        if total < 40:
-            return None
-        return S12_opt, cand, int(n2)
+        inl2_np = np.asarray(inl2)
 
-    def _count_neighbourhood_matches(self, state, kf, cand, S12) -> int:
-        """`SearchByProjection(Scw)` approximation (`src/ORBmatcher.cc:293-406`):
-        gather the loop neighbourhood's points, map into the current camera
-        via S12, projection-match."""
-        neigh = np.asarray(ms.covisible_keyframes(state, cand, 10))
+        # matched loop point per current-KF feature (mvpCurrentMatchedPoints)
+        matched_pt = np.full(N, -1, np.int64)
+        pts2_np = np.asarray(f2["ids"])
+        matched_pt[s1[inl2_np]] = pts2_np[s2[inl2_np]]
+
+        # mScw = gScm * gSmw (LoopClosing.cc:333-336)
+        Scw = S12_opt @ T2
+
+        # loop-neighbourhood points (mvpLoopMapPoints, :353-374)
+        neigh = np.asarray(ms.covisible_keyframes(state, cand, ms.MAX_OBS))
         kfs = [cand] + [int(x) for x in neigh[neigh >= 0]]
-        pt_ids = set()
         fwd = np.asarray(state.kf_kp_point)
+        pt_valid_np = np.asarray(state.pt_valid)
+        pt_ids = set()
         for k in kfs:
             ids = fwd[k]
-            pt_ids.update(int(i) for i in ids[ids >= 0])
-        if not pt_ids:
-            return 0
-        ids = jnp.asarray(sorted(pt_ids), jnp.int32)
-        pw = state.pt_pos[ids]
-        # current camera ~ S12 ∘ T_cand
-        T_cand = state.kf_pose[cand]
-        p_cand = se3.transform_points(T_cand, pw)
-        p_cur = se3.sim3_transform_points(S12, p_cand)
-        uv, z = projection.project(self.cam, p_cur)
-        okz = (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < self.cam.width) & \
-            (uv[:, 1] >= 0) & (uv[:, 1] < self.cam.height)
-        # descriptor match against current KF features within radius 10
-        pt_bits = hamming.unpack_bits(state.pt_desc[ids])
-        cur_bits = hamming.unpack_bits(state.kf_desc[kf])
-        d2 = jnp.sum(
-            (uv[:, None, :] - state.kf_kp_xy[kf][None, :, :]) ** 2, -1
+            ids = ids[ids >= 0]
+            pt_ids.update(int(i) for i in ids[pt_valid_np[ids]])
+        loop_pts = np.fromiter(sorted(pt_ids), np.int64) if pt_ids else \
+            np.zeros(0, np.int64)
+        if len(loop_pts) == 0:
+            return None
+
+        # Scw projection search over the loop points (:376-386)
+        lp = jnp.asarray(loop_pts)
+        already_pt = jnp.asarray(
+            np.isin(loop_pts, matched_pt[matched_pt >= 0]))
+        proj, _ = matching.search_by_projection_scw(
+            self.cam, Scw,
+            state.pt_pos[lp], state.pt_valid[lp] & ~already_pt,
+            0.8 * state.pt_min_dist[lp], 1.2 * state.pt_max_dist[lp],
+            state.pt_normal[lp], hamming.unpack_bits(state.pt_desc[lp]),
+            state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
+            state.kf_kp_valid[kf], jnp.asarray(matched_pt >= 0),
+            self.bounds, self.scale_factors, th=10.0,
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
         )
-        mask = okz[:, None] & state.kf_kp_valid[kf][None, :] & (d2 <= 100.0)
-        dmat = hamming.hamming_matrix_bits(pt_bits, cur_bits)
-        _, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
-        return int(jnp.sum((best <= hamming.TH_HIGH).astype(jnp.int32)))
+        proj_np = np.asarray(proj)  # per-feature loop-point row or -1
+        fresh = (matched_pt < 0) & (proj_np >= 0)
+        matched_pt[fresh] = loop_pts[proj_np[fresh]]
+
+        total = int((matched_pt >= 0).sum())
+        if total < 40:  # LoopClosing.cc:386
+            return None
+        return S12_opt, cand, int(n2), matched_pt, loop_pts
 
     # -- CorrectLoop -------------------------------------------------------
     def _correct_loop(self, state: ms.MapState, kf: int, match_kf: int,
-                      S_cur_loop: jax.Array) -> ms.MapState:
-        """Sim3 propagation + pose graph + bounded GBA
+                      S_cur_loop: jax.Array, matched_pt: np.ndarray,
+                      loop_pts: np.ndarray) -> ms.MapState:
+        """Sim3 propagation + loop fusion + pose graph + GBA job
         (`src/LoopClosing.cc:403-583`)."""
-        K = state.kf_capacity
-        kf_valid = np.asarray(state.kf_valid)
         poses = state.kf_pose  # (K,4,4) — Siw with scale 1
+        kf_valid = np.asarray(state.kf_valid)
 
-        # corrected Sim3 of the current KF: S_corr_cur = S12 ∘ S_cand... the
-        # RANSAC gave S12: loop-cam coords -> current-cam coords. The
-        # corrected current pose is S12^-1? Following LoopClosing.cc:316:
-        # mg2oScw = gScm * gSmw  (Scm from solver, Smw = loop KF pose).
+        # corrected Sim3 of the current KF (LoopClosing.cc:316):
+        # mg2oScw = gScm * gSmw (Scm from solver, Smw = loop KF pose)
         S_loop_w = poses[match_kf]  # scale-1 Sim3
         S_corr_cur = S_cur_loop @ S_loop_w  # corrected Scw of current KF
 
@@ -293,6 +361,44 @@ class LoopCloser:
             new_poses[k] = np.asarray(pose_graph.sim3_to_se3(S))
         state = state._replace(kf_pose=jnp.asarray(new_poses))
 
+        # --- loop fusion of the matched features (:516-533):
+        # feature already holds a point -> replaced BY the loop point;
+        # empty feature -> new observation of the loop point
+        N = state.n_features
+        mp = jnp.asarray(matched_pt.astype(np.int32))
+        existing = state.kf_kp_point[kf]
+        has_match = mp >= 0
+        merge = has_match & (existing >= 0) & (existing != mp)
+        src = jnp.where(merge, existing, -1)
+        dst = jnp.where(merge, mp, -1)
+        state = ms.merge_points(state, src, dst, merge)
+        feat = jnp.arange(N, dtype=jnp.int32)
+        add = has_match & (state.kf_kp_point[kf] < 0)
+        state = ms.add_observations(state, kf, mp, feat, add)
+        state = ms.compute_distinctive_descriptors_idx(
+            state, jnp.clip(mp, 0), add)
+
+        # --- SearchAndFuse over the corrected window (:585-611): project
+        # the loop points into every window KF with th=4; the window KF's
+        # duplicate points are replaced by the loop points
+        lp_pad = np.full(min(LOOP_PT_CAP, state.pt_capacity), -1, np.int64)
+        lp_pad[: min(len(loop_pts), len(lp_pad))] = \
+            loop_pts[: len(lp_pad)]
+        lp_dev = jnp.asarray(lp_pad.astype(np.int32))
+        for k in window:
+            if not kf_valid[k]:
+                continue
+            state = local_mapping.fuse_into_keyframe(
+                state, k, lp_dev, self.cam, self.bounds, self.scale_factors,
+                self.inv_level_sigma2, self.n_levels, self.scale_factor,
+                th=4.0, prefer_candidate=True,
+            )
+        # refresh connections of the window (new cross-loop links,
+        # :544-562) — fused points now link both sides of the loop
+        for k in window:
+            if kf_valid[k]:
+                state = ms.update_connections(state, jnp.asarray(k))
+
         # add loop edge (:567-570)
         le = state.kf_loop_edges
         free1 = int(np.argmax(np.asarray(le[kf]) < 0))
@@ -304,36 +410,58 @@ class LoopCloser:
         # essential-graph optimization (:565)
         state = self._essential_graph(state, kf, match_kf)
 
-        # bounded global BA (the reference's GBA thread, :571-575)
+        # global BA as an async job (the reference's GBA thread, :571-575);
+        # a still-pending job from a previous loop is aborted (:409-427)
         if self.enable_gba:
-            state = self._global_ba(state)
+            if self.pending_gba is not None:
+                self.pending_gba.abort()
+            self.pending_gba = gba_mod.GBAJob(
+                state, self.cam, self.inv_level_sigma2,
+                n_iters=self.gba_iters, robust=False,
+            )
         return state
 
+    def poll_gba(self, state: ms.MapState) -> ms.MapState:
+        """Apply a finished GBA job (the reference joins the GBA thread and
+        propagates corrections, `LoopClosing.cc:643-786`)."""
+        if self.pending_gba is None:
+            return state
+        job, self.pending_gba = self.pending_gba, None
+        return job.apply(state)
+
     def _essential_graph(self, state: ms.MapState, kf: int, match_kf: int):
+        """Essential-graph pose relaxation (`Optimizer::OptimizeEssentialGraph`,
+        `src/Optimizer.cc:781-1062`): spanning-tree edges + loop edges +
+        covisibility edges with weight >= 100, the matched KF fixed."""
         K = state.kf_capacity
         covis = np.asarray(state.covis)
         parent = np.asarray(state.kf_parent)
         loops = np.asarray(state.kf_loop_edges)
         kf_valid = np.asarray(state.kf_valid)
         poses_np = np.asarray(state.kf_pose)
-        edges = set()
-        for i in range(int(state.n_kf)):
-            if not kf_valid[i]:
-                continue
-            p = parent[i]
-            if p >= 0 and kf_valid[p]:
-                edges.add((min(i, int(p)), max(i, int(p))))
-            for l in loops[i]:
-                if l >= 0 and kf_valid[l]:
-                    edges.add((min(i, int(l)), max(i, int(l))))
-            for j in np.nonzero(covis[i] >= ms.ESSENTIAL_MIN_WEIGHT)[0]:
-                if kf_valid[j]:
-                    edges.add((min(i, int(j)), max(i, int(j))))
-        edges.add((min(kf, match_kf), max(kf, match_kf)))
-        if not edges:
+
+        # vectorized edge extraction (the O(K) python loop was flagged in
+        # round 1): spanning tree, loop edges, strong covisibility
+        ids = np.arange(K)
+        pe = (parent >= 0) & kf_valid & kf_valid[np.clip(parent, 0)]
+        e_par = np.stack([ids[pe], parent[pe]], -1)
+        le_i, le_j = np.nonzero(loops >= 0)
+        lv = loops[le_i, le_j]
+        lm_ok = kf_valid[le_i] & kf_valid[lv]
+        e_loop = np.stack([le_i[lm_ok], lv[lm_ok]], -1)
+        cw = (covis >= ms.ESSENTIAL_MIN_WEIGHT) & kf_valid[:, None] & \
+            kf_valid[None, :]
+        ci, cj = np.nonzero(np.triu(cw, 1))
+        e_cov = np.stack([ci, cj], -1)
+        e_cur = np.array([[kf, match_kf]])
+        alle = np.concatenate([e_par, e_loop, e_cov, e_cur], 0)
+        lo = np.minimum(alle[:, 0], alle[:, 1])
+        hi = np.maximum(alle[:, 0], alle[:, 1])
+        enc = np.unique(lo.astype(np.int64) * K + hi)
+        ei = (enc // K).astype(np.int32)
+        ej = (enc % K).astype(np.int32)
+        if len(ei) == 0:
             return state
-        ei = np.array([e[0] for e in edges], np.int32)
-        ej = np.array([e[1] for e in edges], np.int32)
         meas = np.einsum(
             "eij,ejk->eik", poses_np[ei],
             np.asarray(se3.se3_inv(jnp.asarray(poses_np[ej])))
@@ -365,23 +493,3 @@ class LoopCloser:
                               pose_graph.sim3_to_se3(S_opt), state.kf_pose),
         )
         return state
-
-    def _global_ba(self, state: ms.MapState) -> ms.MapState:
-        """Full-map BA (`RunGlobalBundleAdjustment`, `LoopClosing.cc:643`),
-        bounded by the local-BA problem caps."""
-        from . import local_mapping as lmod
-
-        # one big window: treat the whole map as the window of the newest KF
-        # by running windowed BA around the most recent keyframes.
-        kf_valid = np.asarray(state.kf_valid)
-        recent = np.nonzero(kf_valid)[0]
-        if len(recent) < 3:
-            return state
-        mapper_ba = lmod.build_local_ba_problem(
-            state, jnp.asarray(int(recent[-1])), self.cam,
-            self.inv_level_sigma2,
-        )
-        prob, cam_slots, lidx = mapper_ba
-        res = local_ba.global_bundle_adjustment(self.cam, prob,
-                                                n_iters=self.gba_iters)
-        return lmod.apply_ba_result(state, res, cam_slots, lidx, prob)

@@ -102,6 +102,9 @@ class SLAMSystem:
             self.loop_closer = loop_closing.LoopCloser(
                 self.cam, self.builder.inv_level_sigma2, vocabulary,
                 fix_scale=(sensor != Sensor.MONOCULAR),
+                scale_factors=self.builder.scale_factors,
+                n_levels=cfg.orb.n_levels,
+                scale_factor=cfg.orb.scale_factor,
             )
         # relocalization (Tracking.cc:1601): BoW-backed when a vocabulary
         # exists, brute-force fallback otherwise
@@ -154,6 +157,15 @@ class SLAMSystem:
             self.tracker.new_kf_slots.clear()
             self.tracker.host_kf_slots.clear()
             return
+        # a finished global-BA job merges before new keyframes are
+        # processed (the reference's GBA thread joins + propagates,
+        # `src/LoopClosing.cc:643-786`; by applying on the NEXT backend
+        # drain, keyframes created since the loop event take the
+        # spanning-tree propagation path)
+        if self.loop_closer is not None and (
+            self.tracker.host_kf_slots or self.tracker.new_kf_slots
+        ):
+            self.map = self.loop_closer.poll_gba(self.map)
         # host-created KFs (monocular bootstrap) still need a mapping pass
         while self.tracker.host_kf_slots:
             kf = self.tracker.host_kf_slots.pop(0)
@@ -199,14 +211,32 @@ class SLAMSystem:
         self.tracker._init_frame = None
         if self.mapper is not None:
             self.mapper.recent_start = None
+        if self.loop_closer is not None:
+            if self.loop_closer.pending_gba is not None:
+                self.loop_closer.pending_gba.abort()
+                self.loop_closer.pending_gba = None
+            self.loop_closer.bow_store = None
+            self.loop_closer.consistent_groups.clear()
+            from . import loop_closing as lc_mod
+
+            self.loop_closer.last_loop_kf = -lc_mod.REFRACTORY_KFS - 1
+
+    def flush_gba(self):
+        """Drain a pending global-BA job into the map (the reference blocks
+        on `isFinishedGBA` at shutdown, `src/System.cc:535-550`)."""
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.poll_gba(self.map)
+            self.tracker.map = self.map
 
     def shutdown(self):
+        self.flush_gba()
         self._shutdown = True
 
     # ------ persistence (System.cc:552-574) ------
     def save_map(self, path: str | Path = "Slam_latest_Map.bin"):
         from ..io import mapio
 
+        self.flush_gba()
         mapio.save_map(path, self.map)
 
     def load_map(self, path: str | Path):
@@ -239,6 +269,7 @@ class SLAMSystem:
         )
 
     def save_keyframe_trajectory(self, path: str | Path):
+        self.flush_gba()
         valid = np.asarray(self.map.kf_valid)
         ts = np.asarray(self.map.kf_timestamp)[valid]
         poses = np.asarray(self.map.kf_pose)[valid]

@@ -143,3 +143,253 @@ def test_vocabulary_transform_and_score(rng):
     out2 = tf(hamming.unpack_bits(d2), jnp.ones(50, bool))
     v2 = vocabulary.bow_vector(out2["word"], out2["weight"], voc.n_words)
     assert float(vocabulary.score_l1(v1, v2)) < s_self
+
+
+# ---------------------------------------------------------------------------
+# Byte-level golden fixture: hand-assembled from the documented boost
+# encodings (VERDICT r1 item 3). The expected byte string is built here with
+# flat struct.pack calls — independently of the writer — so any drift in
+# either the writer or the reader breaks this test at an exact offset.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_map():
+    st = ms.empty_map(2, 4, 2)
+    st, _ = ms.add_keyframe(
+        st, jnp.eye(4), 7.5, 3,
+        kp_xy=jnp.asarray([[10.0, 12.0], [100.0, 110.0]], jnp.float32),
+        kp_ur=jnp.asarray([-1.0, 5.5], jnp.float32),
+        kp_depth=jnp.asarray([2.0, 3.5], jnp.float32),
+        kp_octave=jnp.asarray([0, 1], jnp.int32),
+        kp_angle=jnp.asarray([30.0, 90.0], jnp.float32),
+        kp_valid=jnp.ones(2, bool),
+        desc=jnp.asarray(np.arange(64).reshape(2, 32) % 256, jnp.uint8),
+    )
+    pos = jnp.asarray([[0.5, -0.25, 2.0]], jnp.float32)
+    desc = jnp.full((1, 32), 7, jnp.uint8)
+    st, slots = ms.add_points(st, pos, desc, 0, 0, jnp.ones(1, bool),
+                              normal=jnp.asarray([[0.0, 0.0, -1.0]]),
+                              min_dist=jnp.asarray([0.4]),
+                              max_dist=jnp.asarray([4.2]))
+    st = st._replace(pt_visible=st.pt_visible.at[0].set(4),
+                     pt_found=st.pt_found.at(0).set(3)
+                     if hasattr(st.pt_found, "at_") else
+                     st.pt_found.at[0].set(3))
+    st = ms.add_observations(st, 0, slots, jnp.asarray([1], jnp.int32),
+                             jnp.ones(1, bool))
+    return st
+
+
+def _golden_bytes():
+    """Hand-assembled expected archive for `_tiny_map` (cam: fx=fy=500,
+    cx=320, cy=240, bf=40, 640x480, th_depth=40; scale 1.5, 4 levels)."""
+    import struct
+
+    b = bytearray()
+
+    def p(fmt, *v):
+        b.extend(struct.pack(fmt, *v))
+
+    def preamble():  # class info: tracking byte + u32 version
+        p("<?", False)
+        p("<I", 0)
+
+    def vechdr(n):  # collection_size_type + item_version
+        p("<Q", n)
+        p("<I", 0)
+
+    def empty_mat():
+        p("<ii", 0, 0)
+        p("<QQ", 1, 0)
+
+    def mat(arr, t):
+        a = np.atleast_2d(arr)
+        p("<ii", a.shape[1], a.shape[0])
+        p("<QQ", a.itemsize, t)
+        b.extend(a.tobytes())
+
+    def keypoint(x, y, octv, ang):
+        p("<f", ang)
+        p("<i", -1)
+        p("<i", octv)
+        p("<ff", 0.0, 0.0)  # response twice [sic]
+        p("<ff", x, y)
+
+    def mappoint():
+        p("<Q", 0)  # mnId
+        p("<Q", 1)  # nNextId
+        p("<qq", 0, 0)  # mnFirstKFid, mnFirstFrame
+        p("<i", 1)  # nObs
+        p("<fff", 0, 0, 0)
+        p("<?", False)
+        p("<i", 0)
+        p("<f", 0)
+        p("<QQQQQQQ", 0, 0, 0, 0, 0, 0, 0)
+        empty_mat()  # mPosGBA (cv::Mat preamble already emitted by KF? no —
+        # first Mat in archive is THIS one; preamble handled by caller)
+        p("<Q", 0)  # mnBAGlobalForKF
+        mat(np.asarray([[0.5], [-0.25], [2.0]], np.float32), 5)  # mWorldPos
+        p("<I", 1)  # observations
+        p("<?", True)
+        p("<QQ", 0, 1)
+        mat(np.asarray([[0.0], [0.0], [-1.0]], np.float32), 5)  # normal
+        mat(np.full((1, 32), 7, np.uint8), 0)  # descriptor
+        p("<?", True)
+        p("<Q", 0)  # refKF id
+        p("<ii", 4, 3)  # visible, found
+        p("<?", False)  # mbBad
+        p("<ff", 0.4, 4.2)
+
+    # ---- archive ----
+    preamble()  # Map
+    p("<i", 1)  # nPoints
+    preamble()  # MapPoint (first encounter)
+    # inside the first MapPoint the first cv::Mat appears -> its preamble
+    # must precede the mPosGBA fields; easiest faithful transcription:
+    # emit the record with the Mat preamble spliced in
+    start = len(b)
+    p("<Q", 0)
+    p("<Q", 1)
+    p("<qq", 0, 0)
+    p("<i", 1)
+    p("<fff", 0, 0, 0)
+    p("<?", False)
+    p("<i", 0)
+    p("<f", 0)
+    p("<QQQQQQQ", 0, 0, 0, 0, 0, 0, 0)
+    preamble()  # cv::Mat first encounter
+    empty_mat()
+    p("<Q", 0)
+    mat(np.asarray([[0.5], [-0.25], [2.0]], np.float32), 5)
+    p("<I", 1)
+    p("<?", True)
+    p("<QQ", 0, 1)
+    mat(np.asarray([[0.0], [0.0], [-1.0]], np.float32), 5)
+    mat(np.full((1, 32), 7, np.uint8), 0)
+    p("<?", True)
+    p("<Q", 0)
+    p("<ii", 4, 3)
+    p("<?", False)
+    p("<ff", 0.4, 4.2)
+    del start
+
+    def keyframe(first):
+        p("<Q", 1)  # nNextId (= n_kf)
+        p("<Q", 0)  # mnId
+        p("<Q", 3)  # mnFrameId
+        p("<d", 7.5)  # mTimeStamp
+        p("<ii", 64, 48)
+        p("<ff", 64.0 / 640, 48.0 / 480)
+        p("<QQQQQ", 0, 0, 0, 0, 0)
+        p("<i", 0)
+        p("<f", 0.0)
+        p("<Q", 0)
+        p("<i", 0)
+        p("<f", 0.0)
+        empty_mat()  # mTcwGBA
+        empty_mat()  # mTcwBefGBA
+        p("<Q", 0)
+        p("<fffff", 500.0, 500.0, 320.0, 240.0, 1 / 500.0)
+        p("<ffff", 1 / 500.0, 40.0, 40.0 / 500.0, 40.0)
+        p("<i", 2)  # N
+        # mvKeys / mvKeysUn (vector<cv::KeyPoint>)
+        for which in range(2):
+            if first and which == 0:
+                preamble()  # vector<cv::KeyPoint> first encounter
+            vechdr(2)
+            if first and which == 0:
+                preamble()  # cv::KeyPoint first encounter
+            keypoint(10.0, 12.0, 0, 30.0)
+            keypoint(100.0, 110.0, 1, 90.0)
+        vechdr(2)
+        b.extend(np.asarray([-1.0, 5.5], np.float32).tobytes())  # mvuRight
+        vechdr(2)
+        b.extend(np.asarray([2.0, 3.5], np.float32).tobytes())  # mvDepth
+        mat(np.arange(64).reshape(2, 32).astype(np.uint8), 0)  # mDescriptors
+        empty_mat()  # mTcp
+        p("<i", 4)  # mnScaleLevels
+        p("<ff", 1.5, np.log(1.5))
+        sf = np.asarray([1.5**i for i in range(4)], np.float32)
+        vechdr(4)
+        b.extend(sf.tobytes())
+        vechdr(4)
+        b.extend((sf**2).tobytes())
+        vechdr(4)
+        b.extend((1.0 / sf**2).tobytes())
+        p("<iiii", 0, 0, 640, 480)
+        mat(np.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                       np.float32), 5)  # mK
+        mat(np.eye(4, dtype=np.float32), 5)  # Tcw
+        mat(np.eye(4, dtype=np.float32), 5)  # Twc
+        mat(np.zeros((3, 1), np.float32), 5)  # Ow
+        mat(np.zeros((3, 1), np.float32), 5)  # Cw
+        p("<i", 2)  # map point ids
+        p("<?", False)  # feature 0: none
+        p("<?", True)
+        p("<Q", 0)  # feature 1 -> point 0
+        # mGrid: kp0 (10,12)->cell(1,1), kp1 (100,110)->cell(10,11)
+        if first:
+            preamble()  # vector<vector<vector<size_t>>> first encounter
+        vechdr(64)
+        for cx in range(64):
+            if first and cx == 0:
+                preamble()  # vector<vector<size_t>> first encounter
+            vechdr(48)
+            for cy in range(48):
+                if cx == 1 and cy == 1:
+                    vechdr(1)
+                    p("<Q", 0)
+                elif cx == 10 and cy == 11:
+                    vechdr(1)
+                    p("<Q", 1)
+                else:
+                    vechdr(0)
+        p("<i", 0)  # connected KF weights (none)
+        p("<i", 0)  # ordered covisibles
+        vechdr(0)  # mvOrderedWeights (vector<int>)
+        p("<?", True)  # mbFirstConnection (KF 0)
+        p("<?", False)  # no parent
+        p("<i", 0)  # children
+        p("<i", 0)  # loop edges
+        p("<???", False, False, False)  # mbNotErase/ToBeErased/Bad
+        p("<f", 40.0 / 500.0 / 2.0)  # mHalfBaseline
+
+    p("<i", 1)  # nKFs
+    preamble()  # KeyFrame first encounter
+    keyframe(True)
+    p("<i", 1)  # origins
+    keyframe(False)  # no preambles: classes already registered
+    p("<Q", 0)  # mnMaxKFid
+    p("<I", 0xDEADBEEF)
+    # dead tail: point block again, no preambles left to emit
+    p("<i", 1)
+    mappoint()
+    return bytes(b)
+
+
+def test_boost_golden_fixture(tmp_path):
+    st = _tiny_map()
+    cam = dict(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0,
+               width=640, height=480, th_depth=40.0)
+    p = tmp_path / "golden.bin"
+    boost_parity.save_boost_map(p, st, cam, scale_factor=1.5, n_levels=4)
+    got = p.read_bytes()
+    exp = _golden_bytes()
+    if got != exp:
+        n = min(len(got), len(exp))
+        off = next((i for i in range(n) if got[i] != exp[i]), n)
+        raise AssertionError(
+            f"byte mismatch at offset {off}: got={got[off:off+16].hex()} "
+            f"exp={exp[off:off+16].hex()} (lens {len(got)}/{len(exp)})"
+        )
+    # the fixture decodes to the expected state and re-encodes byte-stably
+    st2 = boost_parity.load_boost_map(p, max_keyframes=2, max_points=4,
+                                      n_features=2)
+    assert int(jnp.sum(st2.kf_valid)) == 1
+    assert int(jnp.sum(st2.pt_valid)) == 1
+    np.testing.assert_allclose(np.asarray(st2.pt_pos[0]), [0.5, -0.25, 2.0],
+                               atol=1e-7)
+    assert int(st2.pt_obs_kf[0, 0]) == 0 and int(st2.pt_obs_idx[0, 0]) == 1
+    p2 = tmp_path / "golden2.bin"
+    boost_parity.save_boost_map(p2, st2, cam, scale_factor=1.5, n_levels=4)
+    assert p2.read_bytes() == exp
