@@ -1,6 +1,12 @@
-"""Headline benchmark: tracked frames/s per chip on a synthetic RGB-D
-sequence at the reference's operating point (640x480, 2000 ORB features,
-4 pyramid levels — `Examples/ORB_RGBD640x480.yaml:58-64`).
+"""Headline benchmark: tracked frames/s per chip on a mapping-heavy
+synthetic RGB-D loop at the reference's operating point (640x480, 2000 ORB
+features, 4 pyramid levels — `Examples/ORB_RGBD640x480.yaml:58-64`).
+
+Workload (VERDICT r1 item 5): a full circle revolution that produces a
+keyframe every ~6-8 frames (mapping + local BA run constantly inside the
+fused per-frame program), with LOOP CLOSING ENABLED on a vocabulary trained
+from the sequence itself — the timed region includes the loop event's
+Sim3 + fusion + essential graph + global BA.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is vs the reference's real-time design target of 30 fps on a
@@ -20,25 +26,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np  # noqa: E402
 
 REFERENCE_FPS = 30.0
-N_FRAMES = 40
-N_WARMUP = 6
+N_FRAMES = 120
+N_WARMUP = 10
 W, H = 640, 480
 CACHE = Path(__file__).parent / ".bench_cache"
 
 
 def get_sequence():
-    """Render (and cache) the benchmark sequence."""
+    """Render (and cache) the benchmark loop sequence."""
     import pickle
 
     CACHE.mkdir(exist_ok=True)
-    f = CACHE / f"seq_{W}x{H}_{N_FRAMES}_v2.pkl"
+    f = CACHE / f"loop_{W}x{H}_{N_FRAMES}_v3.pkl"
     if f.exists():
         with open(f, "rb") as fh:
             return pickle.load(fh)
     from orbslam_mapsave_tpu.io import synthetic
 
     K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1.0]])
-    poses = synthetic.orbit_trajectory(N_FRAMES, radius=0.35, yaw_range=0.3)
+    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.15)
     room = synthetic.BoxRoom(half_size=2.0, seed=11)
     frames = []
     for i in range(N_FRAMES):
@@ -54,6 +60,45 @@ def get_sequence():
     return data
 
 
+def make_system(voc, cfg_mod, system_mod):
+    cfg = cfg_mod.SystemConfig()
+    cfg.camera = cfg_mod.CameraConfig(
+        fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, width=W, height=H,
+        bf=520.0 * 0.08, th_depth=50.0, fps=30,
+    )
+    cfg.orb = cfg_mod.ORBConfig(n_features=2000, n_levels=4,
+                                scale_factor=1.5)
+    cfg.max_keypoints = 2048
+    cfg.max_keyframes = 64
+    cfg.max_points = 16384
+    return system_mod.SLAMSystem(
+        cfg, system_mod.Sensor.RGBD, vocabulary=voc,
+        enable_loop_closing=voc is not None,
+    )
+
+
+def get_vocabulary(data, cfg_mod, system_mod):
+    """Train (and cache) a vocabulary from the sequence's own frames."""
+    from orbslam_mapsave_tpu.vocab import vocabulary
+
+    f = CACHE / f"voc_{W}x{H}_{N_FRAMES}_v3.bin"
+    if f.exists():
+        return vocabulary.load_binary(f)
+    sys_ = make_system(None, cfg_mod, system_mod)
+    import jax.numpy as jnp
+
+    descs = []
+    for i in range(0, N_FRAMES, 12):
+        g, d = data["frames"][i]
+        fr = sys_.builder.build(jnp.asarray(g, jnp.float32),
+                                1000.0 + i / 30.0,
+                                jnp.asarray(d, jnp.float32))
+        descs.append(np.asarray(fr.desc)[np.asarray(fr.valid)])
+    voc = vocabulary.train(np.concatenate(descs), k=10, L=4, seed=1)
+    vocabulary.save_binary(f, voc)
+    return voc
+
+
 def main():
     data = get_sequence()
     import jax
@@ -62,18 +107,8 @@ def main():
     from orbslam_mapsave_tpu import config as config_mod
     from orbslam_mapsave_tpu.pipeline import system as system_mod
 
-    cfg = config_mod.SystemConfig()
-    cfg.camera = config_mod.CameraConfig(
-        fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, width=W, height=H,
-        bf=520.0 * 0.08, th_depth=50.0, fps=30,
-    )
-    cfg.orb = config_mod.ORBConfig(n_features=2000, n_levels=4,
-                                   scale_factor=1.5)
-    cfg.max_keypoints = 2048
-    cfg.max_keyframes = 64
-    cfg.max_points = 16384
-    slam = system_mod.SLAMSystem(cfg, system_mod.Sensor.RGBD,
-                                 enable_loop_closing=False)
+    voc = get_vocabulary(data, config_mod, system_mod)
+    slam = make_system(voc, config_mod, system_mod)
 
     # Pre-stage the dataset on device (the dataset-benchmark operating mode:
     # decode/transfer off the timed path, exactly like the reference's
@@ -89,6 +124,21 @@ def main():
         g, d = frames_dev[i]
         slam.track_rgbd(g, d, 1000.0 + i / 30.0)
     slam.tracker.flush()
+    # pre-trace the loop-closing/GBA programs on a throwaway copy so the
+    # timed region measures steady-state execution, not XLA compilation
+    # (the reference pays its compile at build time, not per run)
+    if slam.loop_closer is not None:
+        lc = slam.loop_closer
+        lc._ensure_store(slam.map)
+        bow = lc.compute_bow(slam.map, 0)
+        from orbslam_mapsave_tpu.vocab import database
+
+        database.add_keyframe_bow_sparse(lc.bow_store, 0, *bow)
+        from orbslam_mapsave_tpu.optim import global_ba
+
+        jax.block_until_ready(global_ba.full_bundle_adjustment(
+            slam.cam, slam.map, slam.builder.inv_level_sigma2,
+            n_iters=lc.gba_iters, robust=False))
     slam.reset()
 
     t0 = time.perf_counter()
@@ -96,19 +146,32 @@ def main():
         g, d = frames_dev[i]
         slam.track_rgbd(g, d, 1000.0 + i / 30.0)
     slam.tracker.flush()
+    slam.flush_gba()
     elapsed = time.perf_counter() - t0
     fps = N_FRAMES / elapsed
 
     traj = slam.tracker.trajectory
     n_lost = sum(1 for (_, _, lost) in traj if lost)
+    n_loops = len(slam.loop_closer.events) if slam.loop_closer else 0
+    # trajectory quality on the timed run (exact ground truth available)
+    from orbslam_mapsave_tpu.io import trajectory as traj_io
+
+    valid = np.asarray(slam.map.kf_valid)
+    kf_ate = float("nan")
+    if valid.any():
+        ts = np.asarray(slam.map.kf_timestamp)[valid]
+        est = np.linalg.inv(np.asarray(slam.map.kf_pose)[valid])
+        gt_ts = 1000.0 + np.arange(N_FRAMES) / 30.0
+        kf_ate = traj_io.ate_rmse(gt_ts, data["poses"], ts, est)
     print(
         f"[bench] frames={N_FRAMES} elapsed={elapsed:.2f}s "
         f"avg_ms={1e3 * elapsed / N_FRAMES:.1f} "
-        f"lost={n_lost} kfs={slam.n_keyframes} pts={slam.n_points}",
+        f"lost={n_lost} kfs={slam.n_keyframes} pts={slam.n_points} "
+        f"loops={n_loops} kf_ate={kf_ate:.4f}m",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "rgbd_tracking_fps_per_chip",
+        "metric": "rgbd_slam_fps_per_chip_loopclosing",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),

@@ -79,6 +79,8 @@ def load_map(path: str | Path) -> MapState:
         oct_ = np.full(okf.shape, -1, np.int8)
         oct_[ok] = kf_oct[okf[ok], oix[ok]].astype(np.int8)
         fields["pt_obs_oct"] = oct_
+    if fields.get("n_obs_dropped") is None:
+        fields["n_obs_dropped"] = np.int32(0)  # pre-telemetry checkpoints
     state = MapState(**fields)
     return jax.tree.map(jnp.asarray, state)
 

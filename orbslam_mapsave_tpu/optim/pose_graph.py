@@ -132,6 +132,13 @@ def sim3_to_se3(S: jax.Array) -> jax.Array:
 def correct_points(pt_pos: jax.Array, S_old_ref: jax.Array,
                    S_new_ref: jax.Array) -> jax.Array:
     """Move points with their reference KF's Sim3 correction
-    (`src/Optimizer.cc:1031-1060`): X' = S_new^-1 ( S_old X )."""
-    p_cam = se3.sim3_transform_points(S_old_ref, pt_pos)
-    return se3.sim3_transform_points(se3.sim3_inv(S_new_ref), p_cam)
+    (`src/Optimizer.cc:1031-1060`): X' = S_new^-1 ( S_old X ).
+
+    One pose PER point: pt_pos (P,3), S_old_ref/S_new_ref (P,4,4).
+    (sim3_transform_points expects a point SET per pose — using it here
+    batch-matmuls (P,3) against (P,3,3) into (P,P,3).)"""
+    p_cam = jnp.einsum("pij,pj->pi", S_old_ref[..., :3, :3], pt_pos) \
+        + S_old_ref[..., :3, 3]
+    Sinv = se3.sim3_inv(S_new_ref)
+    return jnp.einsum("pij,pj->pi", Sinv[..., :3, :3], p_cam) \
+        + Sinv[..., :3, 3]

@@ -60,7 +60,7 @@ def _total_chi2(cam, S12, obs, active, robust):
     return jnp.sum(jnp.where(active & ok, val, 0.0))
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def optimize_sim3(cam: projection.Camera, S12_init: jax.Array, obs: Sim3Obs,
                   fix_scale: bool = False, n_a: int = 5, n_b: int = 10):
     """Two-stage LM on the 7-dim (6 if fix_scale) tangent.

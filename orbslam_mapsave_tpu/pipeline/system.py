@@ -153,6 +153,12 @@ class SLAMSystem:
         `src/LoopClosing.cc:58-89`) and, for host-created keyframes (the
         monocular bootstrap pair), a mapping pass."""
         self.map = self.tracker.map
+        if self.tracker.needs_reset:
+            # lost with <= 5 keyframes right after init: start over
+            # (`src/Tracking.cc:712-718`)
+            self.tracker.needs_reset = False
+            self.reset()
+            return
         if self.localization_only:
             self.tracker.new_kf_slots.clear()
             self.tracker.host_kf_slots.clear()
@@ -209,6 +215,8 @@ class SLAMSystem:
         self.tracker.new_kf_slots.clear()
         self.tracker.host_kf_slots.clear()
         self.tracker._init_frame = None
+        self.tracker.needs_reset = False
+        self.tracker.mb_vo = False
         if self.mapper is not None:
             self.mapper.recent_start = None
         if self.loop_closer is not None:

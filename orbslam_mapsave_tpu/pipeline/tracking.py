@@ -84,11 +84,26 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
     def track_motion(state: ms.MapState, frame: frame_mod.FrameData,
                      pose_pred: jax.Array,
                      last_matched: jax.Array, last_frame: frame_mod.FrameData,
-                     th: jax.Array):
-        """`Tracking::TrackWithMotionModel` (`src/Tracking.cc:1114-1175`)."""
-        ok_last = last_matched >= 0
+                     th: jax.Array, last_pose: jax.Array,
+                     use_temporal: jax.Array):
+        """`Tracking::TrackWithMotionModel` (`src/Tracking.cc:1114-1175`) +
+        the temporal "VO point" seeding of `UpdateLastFrame`
+        (`src/Tracking.cc:1048-1112`): in localization-only mode
+        (use_temporal), last-frame features with depth but WITHOUT a map
+        point become temporary 3D candidates back-projected through the
+        last pose, so odometry keeps working where the loaded map is
+        sparse. Returns (matched_pt (N,) map slot or -1, pt_w (N,3) matched
+        3D position — map or temporal, have (N,), n_matches)."""
+        ok_map = last_matched >= 0
         pt_pos = state.pt_pos[jnp.clip(last_matched, 0)]
-        ok_last = ok_last & state.pt_valid[jnp.clip(last_matched, 0)]
+        ok_map = ok_map & state.pt_valid[jnp.clip(last_matched, 0)]
+        has_temp = use_temporal & last_frame.valid & \
+            (last_frame.kp_depth > 0) & ~ok_map
+        p_cam = projection.backproject(cam, last_frame.kp_xy,
+                                       last_frame.kp_depth)
+        p_w_temp = se3.transform_points(se3.se3_inv(last_pose), p_cam)
+        pt_pos = jnp.where(ok_map[:, None], pt_pos, p_w_temp)
+        ok_last = ok_map | has_temp
         matches, n = matching.search_by_projection_last(
             cam, pose_pred,
             frame.kp_xy, frame.kp_octave, frame.kp_angle, frame.desc_bits,
@@ -97,10 +112,13 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
             last_frame.desc_bits, ok_last,
             bounds, scale_factors, th=th,
         )
-        # matches: per current feature -> last-frame row; map to point slots
-        matched_pt = jnp.where(matches >= 0,
-                               last_matched[jnp.clip(matches, 0)], -1)
-        return matched_pt, n
+        # matches: per current feature -> last-frame row; temporal rows map
+        # to slot -1 (they never enter the map) but keep their 3D position
+        have = matches >= 0
+        row = jnp.clip(matches, 0)
+        matched_pt = jnp.where(have & ok_map[row], last_matched[row], -1)
+        pt_w = pt_pos[row]
+        return matched_pt, pt_w, have, n
 
     @jax.jit
     def track_ref_kf(state: ms.MapState, frame: frame_mod.FrameData, ref_kf):
@@ -138,6 +156,27 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         pose, inlier, n_inl = pose_opt.pose_optimization(cam, pose0, obs)
         matched_pt = jnp.where(inlier, matched_pt, -1)
         return pose, matched_pt, n_inl
+
+    @jax.jit
+    def optimize_pose_xyz(state: ms.MapState, frame: frame_mod.FrameData,
+                          pose0: jax.Array, pt_w: jax.Array, have: jax.Array,
+                          matched_pt: jax.Array):
+        """PoseOptimization over EXPLICIT 3D positions — the motion-model
+        variant where some matches are temporal VO points with no map slot
+        (`src/Tracking.cc:1048-1175`). Returns (pose, matched_pt stripped of
+        outliers, n_inliers, n_map_inliers) — the map-only count drives the
+        mbVO ladder (`:612-615`)."""
+        obs = pose_opt.PoseObs(
+            pt_w=pt_w,
+            uv=frame.kp_xy,
+            ur=frame.kp_ur,
+            inv_sigma2=builder.inv_level_sigma2[jnp.clip(frame.kp_octave, 0)],
+            valid=have,
+        )
+        pose, inlier, n_inl = pose_opt.pose_optimization(cam, pose0, obs)
+        matched_pt = jnp.where(inlier, matched_pt, -1)
+        n_map = jnp.sum((inlier & (matched_pt >= 0)).astype(jnp.int32))
+        return pose, matched_pt, n_inl, n_map
 
     @jax.jit
     def gather_local_map(state: ms.MapState, matched_pt: jax.Array):
@@ -344,6 +383,7 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         track_motion=track_motion,
         track_ref_kf=track_ref_kf,
         optimize_pose=optimize_pose,
+        optimize_pose_xyz=optimize_pose_xyz,
         gather_local_map=gather_local_map,
         track_local_map=track_local_map,
         create_keyframe_rgbd=create_keyframe_rgbd,
@@ -402,6 +442,8 @@ class Tracker:
         self._pending: list[tuple[float, object]] = []  # (t, StepOutcome)
         self._trajectory: list[tuple[float, np.ndarray, bool]] = []
         self.n_inliers = 0
+        self.mb_vo = False  # map-less odometry active (Tracking.cc:595-640)
+        self.needs_reset = False  # lost-after-init ladder (Tracking.cc:712-718)
 
     # ---- deferred outcome handling ----------------------------------
     @property
@@ -429,6 +471,12 @@ class Tracker:
         last = outs[-1]
         mode = int(last.mode)
         self.state = {1: NOT_INITIALIZED, 2: OK, 3: LOST}.get(mode, mode)
+        self.mb_vo = bool(last.mb_vo)
+        # lost right after initialization (<= 5 KFs) -> full system reset
+        # (`src/Tracking.cc:712-718`); the SLAMSystem drains the flag
+        if (self.state == LOST and not self.disallow_kf
+                and int(last.n_kf) <= 5):
+            self.needs_reset = True
 
     def _ensure_ctrl(self, fr: frame_mod.FrameData):
         if self.ctrl is None:
@@ -447,9 +495,14 @@ class Tracker:
         self._pending.append((t, out))
         self.last_frame = fr
         self.frame_id += 1
-        if len(self._pending) >= self.fetch_every:
+        # while LOST (or in map-less VO), drop to per-frame fetches so
+        # relocalization retries EVERY frame like the reference
+        # (`src/Tracking.cc:595-640,1601`); the steady OK state keeps the
+        # batched cadence that hides the host<->device latency
+        every = 1 if (self.state == LOST or self.mb_vo) else self.fetch_every
+        if len(self._pending) >= every:
             self.flush()
-            if self.state == LOST:
+            if self.state == LOST or self.mb_vo:
                 self._host_relocalize(fr, t)
         return out.pose
 
@@ -467,7 +520,9 @@ class Tracker:
                 self.map, fr, self.k["optimize_pose"], self.frame_id)
             if out is not None:
                 pose, matched, _ = out
-        if pose is None:  # fallback: reference-KF matching retry
+        if pose is None and self.state == LOST:
+            # fallback: reference-KF matching retry (not in mbVO mode — the
+            # reference only runs Relocalization there, Tracking.cc:607-611)
             matched, n = self.k["track_ref_kf"](
                 self.map, fr, jnp.asarray(self.ref_kf, jnp.int32))
             if int(n) >= 15:
@@ -481,8 +536,10 @@ class Tracker:
                 pose=jnp.asarray(pose, jnp.float32),
                 has_velocity=jnp.asarray(False),
                 last_matched=jnp.asarray(matched, jnp.int32),
+                mb_vo=jnp.asarray(False),
             )
             self.state = OK
+            self.mb_vo = False
 
     # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
     def track_rgbd(self, image, depth, timestamp: float):
@@ -558,6 +615,14 @@ class Tracker:
         if float(med) < 0 or int(n_pts) < 100:  # Tracking.cc:937-944
             self._record(None, True, t)
             return None
+        # GlobalBundleAdjustemnt(20) on the bootstrap pair
+        # (`src/Tracking.cc:931` — robust, gauge = first KF)
+        from ..optim import global_ba
+
+        poses_gba, pts_gba, _ = global_ba.full_bundle_adjustment(
+            self.cam, state, self.builder.inv_level_sigma2,
+            n_iters=20, robust=True)
+        state = state._replace(kf_pose=poses_gba, pt_pos=pts_gba)
         self.map = state
         self.state = OK
         self.ref_kf = int(kf2)

@@ -15,11 +15,15 @@ BoW vectors live as a dense (K, W) matrix, so
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from ..optim import lm as lm_mod
 from ..slammap import mapstate as ms
+
+_PAD = jnp.iinfo(jnp.int32).max  # sparse-row pad (keeps rows sorted)
 
 
 def empty_bow_store(max_keyframes: int, n_words: int) -> jax.Array:
@@ -73,6 +77,121 @@ def detect_loop_candidates(store: jax.Array, state: ms.MapState,
     best_acc = jnp.max(jnp.where(ok, acc, -jnp.inf))
     keep = ok & (acc > 0.75 * best_acc)  # :251
     return keep, scores
+
+
+# ---------------------------------------------------------------------------
+# Sparse store — scales to the real 1M-word ORBvoc.
+#
+# The dense (K, W) matrix is O(K*W) = 2 GB at K=512, W=1e6
+# (`ORBvoc`, TemplatedVocabulary.h:1471-1476). Each keyframe's BoW vector
+# has at most N (= feature count) nonzero words, so the sparse store keeps
+# per-KF SORTED word rows (K, M) + weights; retrieval intersects the query
+# row against all K rows with ONE batched searchsorted (gathers, no
+# scatters): for L1-normalized vectors the DBoW2 L1 score reduces to
+# sum over shared words of min(v1_w, v2_w).
+# ---------------------------------------------------------------------------
+
+
+class SparseBowStore(NamedTuple):
+    word: jax.Array  # (K,M) i32 sorted ascending, INT32_MAX pad
+    weight: jax.Array  # (K,M) f32, 0 on pads
+
+
+def empty_sparse_store(max_keyframes: int, m_words: int) -> SparseBowStore:
+    return SparseBowStore(
+        word=jnp.full((max_keyframes, m_words), _PAD, jnp.int32),
+        weight=jnp.zeros((max_keyframes, m_words), jnp.float32),
+    )
+
+
+def add_keyframe_bow_sparse(store: SparseBowStore, kf_slot,
+                            words: jax.Array, weights: jax.Array
+                            ) -> SparseBowStore:
+    """`KeyFrameDatabase::add` — rows come from `vocabulary.sparse_bow`."""
+    m = store.word.shape[1]
+    return SparseBowStore(
+        word=store.word.at[kf_slot].set(words[:m]),
+        weight=store.weight.at[kf_slot].set(weights[:m]),
+    )
+
+
+def erase_keyframe_bow_sparse(store: SparseBowStore, kf_slot) -> SparseBowStore:
+    return SparseBowStore(
+        word=store.word.at[kf_slot].set(_PAD),
+        weight=store.weight.at[kf_slot].set(0.0),
+    )
+
+
+def _sparse_common_and_scores(store: SparseBowStore, q_word: jax.Array,
+                              q_weight: jax.Array):
+    """(common (K,), scores (K,)) against all rows at once.
+
+    score = sum_shared min(v1, v2)  ==  1 - 0.5*|v1 - v2|_1 for
+    L1-normalized vectors (`L1Scoring::score`, ScoringObject.cpp:23-70)."""
+    K, M = store.word.shape
+    pos = jax.vmap(lambda row: jnp.searchsorted(row, q_word))(
+        store.word)  # (K,Mq)
+    pos = jnp.clip(pos, 0, M - 1)
+    hit_w = jnp.take_along_axis(store.word, pos, axis=1)  # (K,Mq)
+    hit_v = jnp.take_along_axis(store.weight, pos, axis=1)
+    q_live = (q_word[None, :] != _PAD) & (q_weight[None, :] > 0)
+    match = (hit_w == q_word[None, :]) & q_live
+    common = jnp.sum(match.astype(jnp.int32), -1)
+    scores = jnp.sum(
+        jnp.where(match, jnp.minimum(hit_v, q_weight[None, :]), 0.0), -1)
+    return common, scores
+
+
+@jax.jit
+def detect_loop_candidates_sparse(store: SparseBowStore, state: ms.MapState,
+                                  q_word: jax.Array, q_weight: jax.Array,
+                                  query_kf, min_score: jax.Array):
+    """Sparse twin of `detect_loop_candidates` — identical gates."""
+    K = store.word.shape[0]
+    connected = state.covis[query_kf] > 0
+    eligible = state.kf_valid & ~connected & (jnp.arange(K) != query_kf)
+    common, scores = _sparse_common_and_scores(store, q_word, q_weight)
+    common = jnp.where(eligible, common, 0)
+    max_common = jnp.max(common)
+    min_common = (0.8 * max_common).astype(jnp.int32)  # KeyFrameDatabase.cc:195
+    ok = eligible & (common > min_common) & (scores >= min_score)
+    top_w, top_kf = jax.lax.top_k(state.covis, 10)
+    neigh_ok = (top_w > 0) & ok[top_kf]
+    neigh_scores = jnp.where(neigh_ok, scores[top_kf], 0.0)
+    acc = jnp.where(ok, scores, 0.0) + jnp.sum(neigh_scores, -1)
+    best_acc = jnp.max(jnp.where(ok, acc, -jnp.inf))
+    keep = ok & (acc > 0.75 * best_acc)  # :251
+    return keep, scores
+
+
+@jax.jit
+def detect_relocalization_candidates_sparse(store: SparseBowStore,
+                                            state: ms.MapState,
+                                            q_word: jax.Array,
+                                            q_weight: jax.Array):
+    """Sparse twin of `detect_relocalization_candidates` — identical gates."""
+    common, scores = _sparse_common_and_scores(store, q_word, q_weight)
+    common = jnp.where(state.kf_valid, common, 0)
+    max_common = jnp.max(common)
+    min_common = (0.8 * max_common).astype(jnp.int32)  # :315
+    ok = state.kf_valid & (common > min_common)
+    top_w, top_kf = jax.lax.top_k(state.covis, 10)
+    neigh_ok = (top_w > 0) & ok[top_kf]
+    neigh_scores = jnp.where(neigh_ok, scores[top_kf], 0.0)
+    acc = jnp.where(ok, scores, 0.0) + jnp.sum(neigh_scores, -1)
+    best_acc = jnp.max(jnp.where(ok, acc, -jnp.inf))
+    keep = ok & (acc > 0.75 * best_acc)  # :368
+    return keep, scores
+
+
+@jax.jit
+def sparse_score_rows(store: SparseBowStore, rows: jax.Array,
+                      q_word: jax.Array, q_weight: jax.Array) -> jax.Array:
+    """L1 scores of the query against selected rows (for the covisible
+    minScore floor, `LoopClosing.cc:125-139`)."""
+    sub = SparseBowStore(word=store.word[rows], weight=store.weight[rows])
+    _, scores = _sparse_common_and_scores(sub, q_word, q_weight)
+    return scores
 
 
 @jax.jit

@@ -304,6 +304,89 @@ def make_transform(voc: Vocabulary, levelsup: int = 4):
     return transform
 
 
+def make_transform_packed(voc: Vocabulary, levelsup: int = 4):
+    """`make_transform` twin that keeps node descriptors PACKED (Nn,32) u8
+    and computes Hamming via XOR + `lax.population_count` — 8x less HBM
+    than the bit-plane tables (32 MB vs 256 MB at the real 1M-node ORBvoc,
+    `Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1467-1535`).
+
+    Input is the packed (N,32) u8 descriptor block (no unpack needed)."""
+    children = jnp.asarray(voc.children)  # (Nn,k)
+    child_desc = jnp.asarray(voc.desc)  # (Nn,32) u8
+    weight = jnp.asarray(voc.weight)
+    word_id = jnp.asarray(voc.word_id)
+    L = voc.L
+    node_depth_for_fv = max(L - levelsup, 0)
+
+    @jax.jit
+    def transform(desc_u8: jax.Array, valid: jax.Array):
+        N = desc_u8.shape[0]
+        cur = jnp.zeros(N, jnp.int32)
+        fv_node = jnp.zeros(N, jnp.int32)
+        for depth in range(L + 1):
+            ch = children[cur]  # (N,k)
+            has = ch >= 0
+            cb = child_desc[jnp.clip(ch, 0)]  # (N,k,32) u8
+            x = jnp.bitwise_xor(cb, desc_u8[:, None, :])
+            d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), -1)
+            d = jnp.where(has, d, 1 << 20)
+            best = jnp.argmin(d, -1)
+            nxt = jnp.take_along_axis(ch, best[:, None], 1)[:, 0]
+            any_child = has.any(-1)
+            cur = jnp.where(any_child, nxt, cur)
+            if depth + 1 == node_depth_for_fv:
+                fv_node = cur
+        w = weight[cur]
+        wid = word_id[cur]
+        ok = valid & (wid >= 0)
+        return dict(
+            word=jnp.where(ok, wid, -1),
+            weight=jnp.where(ok, w, 0.0),
+            node=jnp.where(ok, fv_node, -1),
+        )
+
+    return transform
+
+
+def sparse_bow(word: jax.Array, weight: jax.Array, m_cap: int):
+    """Sparse L1-normalized tf-idf BoW: per-feature (word, weight) pairs ->
+    (words (m_cap,) i32 sorted ascending, padded with INT32_MAX so the row
+    stays globally sorted for searchsorted intersection; weights (m_cap,)
+    f32 with 0 on pads). Duplicate words sum (`BowVector::addWeight`);
+    total L1 mass normalizes to 1. The sparse twin of `bow_vector` — each
+    keyframe keeps only its <= N nonzero words instead of a dense (W,) row
+    (O(K*W) is 2 GB at the 1M-word ORBvoc)."""
+    N = word.shape[0]
+    ok = word >= 0
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    keys = jnp.where(ok, word, big)
+    order = jnp.argsort(keys)
+    sw = keys[order]
+    swt = jnp.where(ok, weight, 0.0)[order]
+    # run starts: first occurrence of each word value
+    first = jnp.concatenate([jnp.asarray([True]), sw[1:] != sw[:-1]])
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # (N,)
+    m = min(m_cap, N)
+    sums = jnp.zeros(m, jnp.float32).at[jnp.clip(run_id, 0, m - 1)].add(
+        swt, mode="drop")
+    first_pos = jnp.where(first, jnp.arange(N), N - 1)
+    starts = jnp.full(m, N - 1, jnp.int32).at[
+        jnp.clip(run_id, 0, m - 1)
+    ].min(jnp.where(first, jnp.arange(N, dtype=jnp.int32), N - 1),
+          mode="drop")
+    words = sw[starts]
+    live = (words != big) & (sums > 0)
+    total = jnp.sum(jnp.where(live, sums, 0.0))
+    out_w = jnp.where(live, sums / jnp.maximum(total, 1e-12), 0.0)
+    out_words = jnp.where(live, words, big)
+    if m < m_cap:
+        out_words = jnp.concatenate(
+            [out_words, jnp.full(m_cap - m, big, out_words.dtype)])
+        out_w = jnp.concatenate([out_w, jnp.zeros(m_cap - m, out_w.dtype)])
+    del first_pos
+    return out_words, out_w
+
+
 def bow_vector(word: jax.Array, weight: jax.Array, n_words: int) -> jax.Array:
     """Dense L1-normalized tf-idf BoW vector (W,) from per-feature words.
 

@@ -27,7 +27,7 @@ from orbslam_mapsave_tpu.vocab import vocabulary
 
 W, H = 320, 240
 FX = 200.0
-N_FRAMES = 140
+N_FRAMES = 170
 T0 = 1000.0
 FPS = 30.0
 
@@ -36,7 +36,7 @@ FPS = 30.0
 def loop_seq(tmp_path_factory):
     out = tmp_path_factory.mktemp("loop_seq")
     K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
-    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.12)
+    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.30)
     # +-4% slowly-varying depth-scale error -> real odometric drift
     synthetic.write_tum_sequence(
         out, K, poses, width=W, height=H, seed=11, depth_factor=5000.0,
@@ -71,12 +71,12 @@ def trained_voc(loop_seq):
     ds = dataset.TUMDataset(loop_seq["root"], depth_factor=5000.0)
     descs = []
     for i, (t, gray, depth) in enumerate(ds):
-        if i % 18 != 0:
+        if i % 10 != 0:
             continue
         fr = sys_.builder.build(gray, t, depth)
         d = np.asarray(fr.desc)[np.asarray(fr.valid)]
         descs.append(d)
-    return vocabulary.train(np.concatenate(descs), k=8, L=3, seed=1)
+    return vocabulary.train(np.concatenate(descs), k=10, L=4, seed=1)
 
 
 def kf_ate(state, gt_poses):

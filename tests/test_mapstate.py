@@ -160,3 +160,77 @@ def test_update_normal_and_depth(rng):
     np.testing.assert_allclose(np.asarray(st.pt_normal[0]), [0, 0, 1], atol=1e-6)
     assert abs(float(st.pt_max_dist[0]) - 2.0) < 1e-5  # octave 0
     assert abs(float(st.pt_min_dist[0]) - 2.0 / 3.375) < 1e-5
+
+
+def test_obs_drop_telemetry(rng):
+    st = ms.empty_map(4, 64, 8)
+    st, kf = ms.add_keyframe(
+        st, jnp.eye(4), 0.0, 0,
+        kp_xy=jnp.zeros((8, 2)), kp_ur=jnp.full(8, -1.0),
+        kp_depth=jnp.ones(8), kp_octave=jnp.zeros(8, jnp.int32),
+        kp_angle=jnp.zeros(8), kp_valid=jnp.ones(8, bool),
+        desc=jnp.zeros((8, 32), jnp.uint8),
+    )
+    st, slots = ms.add_points(st, jnp.zeros((1, 3)),
+                              jnp.zeros((1, 32), jnp.uint8), 0, 0,
+                              jnp.ones(1, bool))
+    # saturate the single point's observation lanes
+    full = jnp.full((1, ms.MAX_OBS), 0, jnp.int32)
+    st = st._replace(pt_obs_kf=st.pt_obs_kf.at[0].set(full[0]),
+                     pt_obs_idx=st.pt_obs_idx.at[0].set(full[0]))
+    before = int(st.n_obs_dropped)
+    st = ms.add_observations(st, 0, slots, jnp.asarray([3], jnp.int32),
+                             jnp.ones(1, bool))
+    assert int(st.n_obs_dropped) == before + 1
+
+
+def test_compact_points_and_keyframes(rng):
+    st = ms.empty_map(8, 64, 16)
+    for k in range(4):
+        st, _ = ms.add_keyframe(
+            st, jnp.eye(4), float(k), k,
+            kp_xy=jnp.asarray(rng.uniform(0, 100, (16, 2)), jnp.float32),
+            kp_ur=jnp.full(16, -1.0), kp_depth=jnp.ones(16),
+            kp_octave=jnp.zeros(16, jnp.int32), kp_angle=jnp.zeros(16),
+            kp_valid=jnp.ones(16, bool),
+            desc=jnp.asarray(rng.integers(0, 256, (16, 32)), jnp.uint8),
+        )
+    pos = jnp.asarray(rng.normal(size=(10, 3)), jnp.float32)
+    st, slots = ms.add_points(st, pos, jnp.zeros((10, 32), jnp.uint8), 1, 1,
+                              jnp.ones(10, bool))
+    st = ms.add_observations(st, 1, slots, jnp.arange(10, dtype=jnp.int32),
+                             jnp.ones(10, bool))
+    st = ms.add_observations(st, 2, slots, jnp.arange(10, dtype=jnp.int32),
+                             jnp.ones(10, bool))
+    st = st._replace(kf_parent=st.kf_parent.at[2].set(1).at[3].set(2))
+    # kill points 2,5 and keyframe 2
+    kill = jnp.zeros(64, bool).at[jnp.asarray([2, 5])].set(True)
+    st = ms.erase_points(st, kill)
+    kf_valid = st.kf_valid.at[2].set(False)
+    st = st._replace(kf_valid=kf_valid,
+                     kf_parent=st.kf_parent.at[3].set(1),
+                     pt_obs_kf=jnp.where(st.pt_obs_kf == 2, -1, st.pt_obs_kf))
+    pos_before = np.asarray(st.pt_pos)[np.asarray(st.pt_valid)]
+
+    st2, new_pt = ms.compact_points(st)
+    assert int(st2.n_pt) == 8
+    assert bool(st2.pt_valid[:8].all()) and not bool(st2.pt_valid[8:].any())
+    np.testing.assert_array_equal(
+        np.asarray(st2.pt_pos)[:8], pos_before)
+    # forward pointers remapped consistently with reverse rows
+    fwd = np.asarray(st2.kf_kp_point)
+    okf = np.asarray(st2.pt_obs_kf)
+    oix = np.asarray(st2.pt_obs_idx)
+    for p in range(8):
+        for kf, ix in zip(okf[p], oix[p]):
+            if kf >= 0:
+                assert fwd[kf, ix] == p
+
+    st3, new_kf = ms.compact_keyframes(st2)
+    assert int(st3.n_kf) == 3
+    assert bool(st3.kf_valid[:3].all()) and not bool(st3.kf_valid[3:].any())
+    # old KF 3 -> new 2, parent old-1 -> new-1
+    assert int(new_kf[3]) == 2 and int(new_kf[1]) == 1
+    assert int(st3.kf_parent[2]) == 1
+    # observations reference remapped KF slots only
+    assert np.asarray(st3.pt_obs_kf).max() < 3

@@ -74,11 +74,13 @@ def detect(state, kf, bow):
         __import__("orbslam_mapsave_tpu.slammap.mapstate", fromlist=["covisible_keyframes"]
                    ).covisible_keyframes(state, kf, 30))
     covis = covis[covis >= 0]
-    scores = np.asarray(vocabulary.score_l1(bow, lc.bow_store[jnp.asarray(covis)])) \
+    qw, qv = bow
+    scores = np.asarray(database.sparse_score_rows(
+        lc.bow_store, jnp.asarray(covis), qw, qv)) \
         if len(covis) else np.zeros(0)
     min_score = float(scores.min()) if len(scores) else 0.0
-    keep, all_scores = database.detect_loop_candidates(
-        lc.bow_store, state, bow, jnp.asarray(kf),
+    keep, all_scores = database.detect_loop_candidates_sparse(
+        lc.bow_store, state, qw, qv, jnp.asarray(kf),
         jnp.asarray(min_score, jnp.float32))
     cand = np.nonzero(np.asarray(keep))[0]
     out = orig_detect(state, kf, bow)
@@ -96,6 +98,8 @@ def sim3(state, kf, cand):
 
 lc._detect_loop = detect
 lc._compute_sim3 = sim3
+
+
 
 ds = dataset.TUMDataset(root, depth_factor=5000.0)
 n_ok = 0
