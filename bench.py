@@ -26,7 +26,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np  # noqa: E402
 
 REFERENCE_FPS = 30.0
-N_FRAMES = 120
+N_FRAMES = 240
 N_WARMUP = 10
 W, H = 640, 480
 CACHE = Path(__file__).parent / ".bench_cache"

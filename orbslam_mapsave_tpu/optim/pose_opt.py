@@ -36,11 +36,18 @@ from ..geometry import projection, se3
 from . import lm
 
 
+# Read ONCE at import: pose_optimization is jitted, so the branch taken at
+# first trace is cached for the process — toggling the env var later would
+# silently do nothing. Set ORBSLAM_TPU_NO_PALLAS=1 before importing to
+# force the XLA path everywhere (A/B debugging).
+_NO_PALLAS = bool(os.environ.get("ORBSLAM_TPU_NO_PALLAS"))
+
+
 def _use_pallas() -> bool:
     """The fused Pallas LM kernel (pose_opt_pallas.py) replaces the XLA
     LM chain on TPU (~3.6x); CPU (tests, virtual meshes) keeps the XLA
-    path. ORBSLAM_TPU_NO_PALLAS=1 forces the XLA path everywhere."""
-    if os.environ.get("ORBSLAM_TPU_NO_PALLAS"):
+    path."""
+    if _NO_PALLAS:
         return False
     return jax.default_backend() == "tpu"
 

@@ -94,12 +94,16 @@ def _solve6(H, g, lam):
            for j in range(6)] for i in range(6)]
     gs = [g[i] * s[i] for i in range(6)]
 
-    # Cholesky Hs = L L^T
+    # Cholesky Hs = L L^T; `spd` tracks whether every pre-guard pivot was
+    # positive — a non-SPD system must yield dx=0 (solve_spd's NaN->0
+    # behavior), not the large finite garbage the sqrt guard would produce
     L = [[jnp.float32(0.0)] * 6 for _ in range(6)]
+    spd = jnp.asarray(True)
     for i in range(6):
         acc = Hs[i][i]
         for k in range(i):
             acc = acc - L[i][k] * L[i][k]
+        spd = spd & (acc > 0.0)
         L[i][i] = _sqrt_guard(acc)
         inv_d = 1.0 / L[i][i]
         for j in range(i + 1, 6):
@@ -129,7 +133,7 @@ def _solve6(H, g, lam):
         dy = chol_solve(r)
         y = [y[i] + dy[i] for i in range(6)]
     dx = [y[i] * s[i] for i in range(6)]
-    return [jnp.where(jnp.isfinite(d), d, 0.0) for d in dx]
+    return [jnp.where(spd & jnp.isfinite(d), d, 0.0) for d in dx]
 
 
 def _pose_lm_kernel(data_ref, pose_ref, cam_ref, pose_out_ref, inlier_out_ref,

@@ -10,7 +10,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import bench as bench_mod
 from orbslam_mapsave_tpu import config as config_mod
@@ -55,11 +54,8 @@ def main():
     trk = slam.tracker
     state = trk.map
     ctrl = trk.ctrl
-    fr = slam.builder.build(*frames_dev[12][:1], 1000.4, frames_dev[12][1]) \
-        if False else slam.builder.build(frames_dev[12][0], 1000.4,
-                                         frames_dev[12][1])
+    fr = slam.builder.build(frames_dev[12][0], 1000.4, frames_dev[12][1])
     jax.block_until_ready(fr)
-    k = trk.k if hasattr(trk, "k") else None
     from orbslam_mapsave_tpu.pipeline import tracking as trk_mod
     kernels = trk_mod.make_tracking_kernels(
         slam.cam, slam.builder, cfg.orb.n_levels, cfg.orb.scale_factor)
@@ -67,10 +63,13 @@ def main():
     pose_pred = ctrl.velocity @ ctrl.pose
     th = jnp.asarray(15.0, jnp.float32)
 
-    m, nm = kernels["track_motion"](state, fr, pose_pred, ctrl.last_matched,
-                                    ctrl.last_frame, th)
+    no_temp = jnp.asarray(False)
+    m, pw, have, nm = kernels["track_motion"](
+        state, fr, pose_pred, ctrl.last_matched, ctrl.last_frame, th,
+        ctrl.pose, no_temp)
     t("track_motion", lambda: kernels["track_motion"](
-        state, fr, pose_pred, ctrl.last_matched, ctrl.last_frame, th))
+        state, fr, pose_pred, ctrl.last_matched, ctrl.last_frame, th,
+        ctrl.pose, no_temp))
     t("optimize_pose", lambda: kernels["optimize_pose"](state, fr, pose_pred, m))
     pose, mm, ninl = kernels["optimize_pose"](state, fr, pose_pred, m)
     t("gather_local_map", lambda: kernels["gather_local_map"](state, mm))
