@@ -70,7 +70,7 @@ def make_system(voc, cfg_mod, system_mod):
                                 scale_factor=1.5)
     cfg.max_keypoints = 2048
     cfg.max_keyframes = 64
-    cfg.max_points = 16384
+    cfg.max_points = 32768
     return system_mod.SLAMSystem(
         cfg, system_mod.Sensor.RGBD, vocabulary=voc,
         enable_loop_closing=voc is not None,
@@ -107,7 +107,8 @@ def main():
     from orbslam_mapsave_tpu import config as config_mod
     from orbslam_mapsave_tpu.pipeline import system as system_mod
 
-    voc = get_vocabulary(data, config_mod, system_mod)
+    voc = None if os.environ.get("BENCH_NO_LOOP") else get_vocabulary(
+        data, config_mod, system_mod)
     slam = make_system(voc, config_mod, system_mod)
 
     # Pre-stage the dataset on device (the dataset-benchmark operating mode:

@@ -147,6 +147,20 @@ def _lm_rounds(cam, pose0, obs, n_rounds=4, n_iters=10):
     return pose, inlier
 
 
+@jax.jit
+def pose_optimization_xla(cam: projection.Camera, pose0_cw: jax.Array,
+                          obs: PoseObs):
+    """The pure-XLA schedule — also the vmap-safe variant (the Pallas
+    kernel's grid/block layout does not support a batch dimension; the
+    batched relocalizer maps over candidates with this one)."""
+    pose, inlier = _lm_rounds(cam, pose0_cw, obs)
+    # ~40 f32 exp()@pose products leave the rotation slightly off SO(3);
+    # uncorrected, the tracker's velocity feedback amplifies that error
+    # geometrically (see se3.orthonormalize). Project back every call.
+    pose = se3.orthonormalize(pose)
+    return pose, inlier, jnp.sum(inlier.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnums=())
 def pose_optimization(cam: projection.Camera, pose0_cw: jax.Array,
                       obs: PoseObs):
@@ -155,9 +169,4 @@ def pose_optimization(cam: projection.Camera, pose0_cw: jax.Array,
         from . import pose_opt_pallas
 
         return pose_opt_pallas.pose_optimization_pallas(cam, pose0_cw, obs)
-    pose, inlier = _lm_rounds(cam, pose0_cw, obs)
-    # ~40 f32 exp()@pose products leave the rotation slightly off SO(3);
-    # uncorrected, the tracker's velocity feedback amplifies that error
-    # geometrically (see se3.orthonormalize). Project back every call.
-    pose = se3.orthonormalize(pose)
-    return pose, inlier, jnp.sum(inlier.astype(jnp.int32))
+    return pose_optimization_xla(cam, pose0_cw, obs)

@@ -61,7 +61,8 @@ class StepOutcome(NamedTuple):
     kf_created: jax.Array  # () bool
     kf_slot: jax.Array  # () i32
     n_kf: jax.Array  # () i32 keyframes alive after the frame
-    n_pt: jax.Array  # () i32 point slots allocated
+    n_pt: jax.Array  # () i32 point slots allocated (allocator watermark)
+    n_kf_alloc: jax.Array  # () i32 keyframe slots allocated (watermark)
     mb_vo: jax.Array  # () bool — host retries relocalization while set
 
 
@@ -100,16 +101,29 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         return jnp.full((n,), -1, jnp.int32)
 
     def _need_new_keyframe(state, frame, matched, n_inl, ref_kf, ctrl):
-        """`Tracking::NeedNewKeyFrame` (`src/Tracking.cc:1224-1321`)."""
+        """`Tracking::NeedNewKeyFrame` — THIS FORK's formula
+        (`src/Tracking.cc:1224-1321`): the map-coverage ratio
+        ratioMap = (close features holding an observed map point) /
+        (all close features) drives insertion — ratioMap < 0.35 (0.20 when
+        inliers > 300) fires c2, ratioMap < 0.3 fires the weak-tracking
+        c1c. This is what keeps keyframes coming while the camera turns
+        into unmapped territory (round 1 shipped upstream ORB-SLAM2's older
+        tracked_close<100 & nontracked>70 rule, which only fires after
+        near-total inlier decay — keyframe starvation)."""
+        ninl_i = n_inl
         if is_mono:
-            need_close = jnp.asarray(False)
+            ratio_map = jnp.asarray(1.0)  # "no VO matches in mono" (:1270)
         else:
             close = frame.valid & (frame.kp_depth > 0) & (
                 frame.kp_depth < cfg.th_depth
             )
-            tracked_close = jnp.sum((close & (matched >= 0)).astype(jnp.int32))
-            nontracked = jnp.sum((close & (matched < 0)).astype(jnp.int32))
-            need_close = (tracked_close < 100) & (nontracked > 70)
+            ok_pt = (matched >= 0) & state.pt_valid[jnp.clip(matched, 0)]
+            has_obs = (state.pt_obs_kf[jnp.clip(matched, 0)] >= 0).any(-1)
+            n_map = jnp.sum((close & ok_pt & has_obs).astype(jnp.int32))
+            n_total = jnp.sum(close.astype(jnp.int32))
+            ratio_map = n_map.astype(jnp.float32) / jnp.maximum(
+                n_total.astype(jnp.float32), 1.0)
+        th_map_ratio = jnp.where(ninl_i > 300, 0.20, 0.35)  # :1285-1287
         n_kfs = jnp.sum(state.kf_valid.astype(jnp.int32))
         th_ref = jnp.where(n_kfs < 2, 0.4, 0.9 if is_mono else 0.75)
         # reference KF match count = points with >= nMinObs observations
@@ -139,8 +153,11 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         c1b = ctrl.frame_id >= ctrl.last_kf_frame_id + cfg.min_frames
         rm = ref_matches.astype(jnp.float32)
         ninl = n_inl.astype(jnp.float32)
-        c1c = (ninl < rm * 0.25) | need_close
-        c2 = ((ninl < rm * th_ref) | need_close) & (n_inl > 15)
+        if is_mono:
+            c1c = jnp.asarray(False)  # :1291 mono excluded
+        else:
+            c1c = (ninl < rm * 0.25) | (ratio_map < 0.3)
+        c2 = ((ninl < rm * th_ref) | (ratio_map < th_map_ratio)) & (n_inl > 15)
         cap_ok = state.n_kf < state.kf_capacity - 1
         return (c1a | c1b | c1c) & c2 & cap_ok & ctrl.allow_kf
 
@@ -279,6 +296,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             kf_created=do_kf, kf_slot=kf_slot,
             n_kf=jnp.sum(state3.kf_valid.astype(jnp.int32)),
             n_pt=state3.n_pt,
+            n_kf_alloc=state3.n_kf,
             mb_vo=ok2 & use_vo,
         )
         return state3, ctrl2, out
@@ -311,6 +329,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 n_inliers=n_pts, kf_created=jnp.asarray(True),
                 kf_slot=kf.astype(jnp.int32),
                 n_kf=jnp.sum(st.kf_valid.astype(jnp.int32)), n_pt=st.n_pt,
+                n_kf_alloc=st.n_kf,
                 mb_vo=jnp.asarray(False),
             )
             return st, ctrl2, out
@@ -326,6 +345,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 kf_slot=jnp.asarray(-1, jnp.int32),
                 n_kf=jnp.sum(state.kf_valid.astype(jnp.int32)),
                 n_pt=state.n_pt,
+                n_kf_alloc=state.n_kf,
                 mb_vo=jnp.asarray(False),
             )
             return state, ctrl2, out
@@ -347,6 +367,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             kf_slot=jnp.asarray(-1, jnp.int32),
             n_kf=jnp.sum(state.kf_valid.astype(jnp.int32)),
             n_pt=state.n_pt,
+            n_kf_alloc=state.n_kf,
             mb_vo=jnp.asarray(False),
         )
         return state, ctrl2, out

@@ -96,7 +96,8 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0))
     )
     pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
-    _, lidx = jax.lax.top_k(pt_flag.astype(jnp.int32), L_CAP)
+    _, lidx = jax.lax.top_k(pt_flag.astype(jnp.int32),
+                            min(L_CAP, state.pt_capacity))
     l_ok = pt_flag[lidx] > 0
     lidx = jnp.where(l_ok, lidx.astype(jnp.int32), -1)
 
@@ -343,11 +344,27 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     cull = jnp.zeros(K, bool).at[jnp.where(cull_t, tgt, K - 1)].set(
         cull_t, mode="drop"
     )
-    # re-parent children of culled KFs
+    # re-parent children of culled KFs to their BEST COVISIBLE earlier
+    # keyframe (`KeyFrame::SetBadFlag` candidate-parent reassignment,
+    # `src/KeyFrame.cc:1202-1274`). Restricting candidates to smaller slots
+    # keeps the tree acyclic by construction (a parent always has a smaller
+    # slot than its child under monotone allocation) — the reference's
+    # sequential candidate-set growth achieves the same property with a
+    # host loop.
     parent = state.kf_parent
     pp = jnp.where(parent >= 0, parent, 0)
     parent_is_culled = (parent >= 0) & cull[pp]
-    new_parent = jnp.where(parent_is_culled, state.kf_parent[pp], parent)
+    slot_ids = jnp.arange(K)
+    cand_ok = state.kf_valid[None, :] & ~cull[None, :] & (
+        slot_ids[None, :] < slot_ids[:, None]
+    )
+    w_cand = jnp.where(cand_ok, state.covis, -1)
+    best_cov = jnp.argmax(w_cand, axis=1).astype(jnp.int32)
+    has_cov = jnp.take_along_axis(w_cand, best_cov[:, None], 1)[:, 0] > 0
+    grand = state.kf_parent[pp]  # fallback: hoist to grandparent
+    new_parent = jnp.where(
+        parent_is_culled, jnp.where(has_cov, best_cov, grand), parent
+    )
     # remove culled KFs' observations: forward rows zeroed; reverse lanes
     # cleared elementwise (no rebuild — lane holes are tolerated everywhere).
     # The lane test compares against the <=T culled ids instead of gathering
@@ -462,15 +479,34 @@ class LocalMapper:
                 flag = jnp.zeros(P, jnp.int8).at[jnp.clip(flat, 0)].max(
                     jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
                 flag = jnp.where(state.pt_valid, flag, 0).astype(jnp.int32)
+                fcap = min(FUSE_CAP, P)
                 pos = jnp.cumsum(flag) - flag
-                okp = (flag > 0) & (pos < FUSE_CAP)
-                cand = jnp.full(FUSE_CAP, -1, jnp.int32).at[
-                    jnp.where(okp, pos, FUSE_CAP - 1)
+                okp = (flag > 0) & (pos < fcap)
+                cand = jnp.full(fcap, -1, jnp.int32).at[
+                    jnp.where(okp, pos, fcap - 1)
                 ].max(jnp.where(okp, jnp.arange(P, dtype=jnp.int32), -1),
                       mode="drop")
                 state = fuse_into_keyframe(
                     state, kf_slot, cand, cam, bounds_, scale_factors_,
                     inv_ls2_, n_levels, scale_factor)
+                # direction 2 (`src/LocalMapping.cc:505-518`): push the NEW
+                # keyframe's points into each close neighbour so duplicates
+                # merge immediately instead of waiting for the neighbours'
+                # own future fuse passes
+                own_pts = state.kf_kp_point[kf_slot]  # (N,) — N <= FUSE_CAP
+
+                def fuse_neighbor(i, st):
+                    nb = neigh[i]
+
+                    def do(st):
+                        return fuse_into_keyframe(
+                            st, nb, own_pts, cam, bounds_, scale_factors_,
+                            inv_ls2_, n_levels, scale_factor)
+
+                    return jax.lax.cond(nb >= 0, do, lambda s: s, st)
+
+                n_rev = min(5, int(neigh.shape[0]))
+                state = jax.lax.fori_loop(0, n_rev, fuse_neighbor, state)
                 # refresh fused points' descriptors/normals + connections
                 # (`src/LocalMapping.cc:521-532`)
                 own = state.kf_kp_point[kf_slot]

@@ -426,6 +426,36 @@ class LoopCloser:
             )
         return state
 
+    def remap_keyframes(self, new_of_old) -> None:
+        """Apply a keyframe-slot compaction permutation
+        (`mapstate.compact_keyframes`) to the BoW store and the detector's
+        host-side bookkeeping."""
+        import numpy as _np
+
+        if self.bow_store is not None:
+            old_ids = _np.nonzero(new_of_old >= 0)[0]
+            new_ids = new_of_old[old_ids]
+            word = np.asarray(self.bow_store.word)
+            weight = np.asarray(self.bow_store.weight)
+            nw = np.full_like(word, np.iinfo(np.int32).max)
+            nv = np.zeros_like(weight)
+            nw[new_ids] = word[old_ids]
+            nv[new_ids] = weight[old_ids]
+            self.bow_store = database.SparseBowStore(
+                word=jnp.asarray(nw), weight=jnp.asarray(nv))
+        remap = {int(o): int(n) for o, n in
+                 zip(*[_np.nonzero(new_of_old >= 0)[0],
+                       new_of_old[new_of_old >= 0]])}
+        self.consistent_groups = [
+            ({remap[g] for g in grp if g in remap}, c)
+            for grp, c in self.consistent_groups
+        ]
+        self.consistent_groups = [(g, c) for g, c in self.consistent_groups
+                                  if g]
+        if self.last_loop_kf >= 0:
+            self.last_loop_kf = remap.get(self.last_loop_kf,
+                                          -REFRACTORY_KFS - 1)
+
     def poll_gba(self, state: ms.MapState) -> ms.MapState:
         """Apply a finished GBA job (the reference joins the GBA thread and
         propagates corrections, `LoopClosing.cc:643-786`)."""

@@ -85,7 +85,7 @@ class Relocalizer:
                     inv_sigma2=inv_ls2[jnp.clip(frame.kp_octave, 0)],
                     valid=matched_pt >= 0,
                 )
-                pose2, inlier2, n_opt = pose_opt.pose_optimization(
+                pose2, inlier2, n_opt = pose_opt.pose_optimization_xla(
                     cam, pose, obs)
                 matched_pt = jnp.where(inlier2, matched_pt, -1)
                 ok_all = ransac_ok & (n >= 15)

@@ -211,7 +211,8 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
             jnp.clip(flat, 0)
         ].max(jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
         pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
-        _, local_idx = jax.lax.top_k(pt_flag.astype(jnp.int32), LOCAL_PTS)
+        _, local_idx = jax.lax.top_k(pt_flag.astype(jnp.int32),
+                                     min(LOCAL_PTS, state.pt_capacity))
         has = pt_flag[local_idx] > 0
         local_idx = jnp.where(has, local_idx.astype(jnp.int32), -1)
         return local_idx, ref_kf
@@ -444,6 +445,8 @@ class Tracker:
         self.n_inliers = 0
         self.mb_vo = False  # map-less odometry active (Tracking.cc:595-640)
         self.needs_reset = False  # lost-after-init ladder (Tracking.cc:712-718)
+        self.n_pt_watermark = 0
+        self.n_kf_watermark = 0
 
     # ---- deferred outcome handling ----------------------------------
     @property
@@ -469,6 +472,8 @@ class Tracker:
                 self.new_kf_slots.append(int(out.kf_slot))
             self.n_inliers = int(out.n_inliers)
         last = outs[-1]
+        self.n_pt_watermark = int(last.n_pt)  # allocator high-water marks
+        self.n_kf_watermark = int(last.n_kf)  # (already fetched — no sync)
         mode = int(last.mode)
         self.state = {1: NOT_INITIALIZED, 2: OK, 3: LOST}.get(mode, mode)
         self.mb_vo = bool(last.mb_vo)

@@ -29,6 +29,7 @@ cfg.max_keyframes = 64
 cfg.max_points = 16384
 slam = system_mod.SLAMSystem(cfg, system_mod.Sensor.RGBD,
                              enable_loop_closing=False)
+cfg.max_points = 32768
 
 frames_dev = [(jnp.asarray(g, jnp.float32), jnp.asarray(d, jnp.float32))
               for g, d in data["frames"]]
