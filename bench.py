@@ -37,14 +37,14 @@ def get_sequence():
     import pickle
 
     CACHE.mkdir(exist_ok=True)
-    f = CACHE / f"loop_{W}x{H}_{N_FRAMES}_v3.pkl"
+    f = CACHE / f"loop_{W}x{H}_{N_FRAMES}_v4.pkl"
     if f.exists():
         with open(f, "rb") as fh:
             return pickle.load(fh)
     from orbslam_mapsave_tpu.io import synthetic
 
     K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1.0]])
-    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.15)
+    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.30)
     room = synthetic.BoxRoom(half_size=2.0, seed=11)
     frames = []
     for i in range(N_FRAMES):
@@ -81,7 +81,7 @@ def get_vocabulary(data, cfg_mod, system_mod):
     """Train (and cache) a vocabulary from the sequence's own frames."""
     from orbslam_mapsave_tpu.vocab import vocabulary
 
-    f = CACHE / f"voc_{W}x{H}_{N_FRAMES}_v3.bin"
+    f = CACHE / f"voc_{W}x{H}_{N_FRAMES}_v4.bin"
     if f.exists():
         return vocabulary.load_binary(f)
     sys_ = make_system(None, cfg_mod, system_mod)
@@ -120,27 +120,20 @@ def main():
     ]
     jax.block_until_ready(frames_dev)
 
-    # warmup pass: trigger all jit compiles (init + track + mapping paths)
-    for i in range(min(N_WARMUP, N_FRAMES)):
+    # warmup: one FULL untimed pass over the workload on a throwaway
+    # system — compiles every program the timed run will touch (tracking,
+    # mapping keyframe steps, loop detection, Sim3, correction, pose
+    # graph, GBA). The reference pays its startup (vocabulary load, lazy
+    # allocation) outside its per-frame timings; XLA compilation is this
+    # framework's startup cost and the persistent cache amortizes it
+    # across processes.
+    warm = make_system(voc, config_mod, system_mod)
+    for i in range(N_FRAMES):
         g, d = frames_dev[i]
-        slam.track_rgbd(g, d, 1000.0 + i / 30.0)
-    slam.tracker.flush()
-    # pre-trace the loop-closing/GBA programs on a throwaway copy so the
-    # timed region measures steady-state execution, not XLA compilation
-    # (the reference pays its compile at build time, not per run)
-    if slam.loop_closer is not None:
-        lc = slam.loop_closer
-        lc._ensure_store(slam.map)
-        bow = lc.compute_bow(slam.map, 0)
-        from orbslam_mapsave_tpu.vocab import database
-
-        database.add_keyframe_bow_sparse(lc.bow_store, 0, *bow)
-        from orbslam_mapsave_tpu.optim import global_ba
-
-        jax.block_until_ready(global_ba.full_bundle_adjustment(
-            slam.cam, slam.map, slam.builder.inv_level_sigma2,
-            n_iters=lc.gba_iters, robust=False))
-    slam.reset()
+        warm.track_rgbd(g, d, 1000.0 + i / 30.0)
+    warm.tracker.flush()
+    warm.flush_gba()
+    del warm
 
     t0 = time.perf_counter()
     for i in range(N_FRAMES):

@@ -111,7 +111,11 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         jnp.where(obs_ok, obs_kf, K - 1).reshape(-1)
     ].max(jnp.where(obs_ok, jnp.int8(1), jnp.int8(0)).reshape(-1), mode="drop")
     fixed_flag = jnp.where(in_local | ~state.kf_valid, 0, fixed_flag)
-    n_fixed_cap = ncap  # fixed cams share the capacity after locals
+    # fixed cams (observers outside the window) are few in practice; the
+    # dense Schur cost scales with C^2, so capping them separately keeps
+    # C = ncap + 16 instead of 2*ncap (measured: the BA solve is the
+    # dominant slice of the per-keyframe mapping step)
+    n_fixed_cap = min(16, ncap)
     _, fidx = jax.lax.top_k(fixed_flag.astype(jnp.int32), n_fixed_cap)
     f_ok = fixed_flag[fidx] > 0
 
@@ -505,7 +509,7 @@ class LocalMapper:
 
                     return jax.lax.cond(nb >= 0, do, lambda s: s, st)
 
-                n_rev = min(5, int(neigh.shape[0]))
+                n_rev = min(3, int(neigh.shape[0]))
                 state = jax.lax.fori_loop(0, n_rev, fuse_neighbor, state)
                 # refresh fused points' descriptors/normals + connections
                 # (`src/LocalMapping.cc:521-532`)

@@ -39,6 +39,30 @@ from . import local_mapping
 CONSISTENCY_TH = 3  # LoopClosing.cc:43
 REFRACTORY_KFS = 10  # LoopClosing.cc:115
 LOOP_PT_CAP = 4096  # loop-neighbourhood point window for fusion
+DETECT_TOP = 8  # candidates fetched per detection (one device round trip)
+
+
+@jax.jit
+def _detect_device(store: database.SparseBowStore, state: ms.MapState,
+                   q_word: jax.Array, q_weight: jax.Array, kf: jax.Array):
+    """The whole DetectLoop device side in ONE program: minScore over the
+    query's covisibles (`LoopClosing.cc:125-139`), gated candidates
+    (`KeyFrameDatabase::DetectLoopCandidates`), top-N by score, and each
+    candidate's covisibility group row. One fetch replaces the 5-6
+    synchronized transfers of the naive host translation — on a
+    tunnel-attached chip each round trip costs tens of ms per keyframe."""
+    covis_r = ms.covisible_keyframes(state, kf, 30)
+    sc = database.sparse_score_rows(store, jnp.clip(covis_r, 0),
+                                    q_word, q_weight)
+    has = covis_r >= 0
+    min_score = jnp.min(jnp.where(has, sc, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
+    keep, scores = database.detect_loop_candidates_sparse(
+        store, state, q_word, q_weight, kf, min_score)
+    cs = jnp.where(keep, scores, -jnp.inf)
+    top_s, top_ids = jax.lax.top_k(cs, DETECT_TOP)
+    groups = state.covis[top_ids] > 0  # (DETECT_TOP, K)
+    return top_ids.astype(jnp.int32), top_s, groups, has.any()
 
 
 @dataclasses.dataclass
@@ -104,7 +128,9 @@ class LoopCloser:
         bow = self.compute_bow(state, kf)
         self.bow_store = database.add_keyframe_bow_sparse(
             self.bow_store, kf, *bow)
-        if kf - self.last_loop_kf < REFRACTORY_KFS or int(state.n_kf) < 12:
+        # slot allocation is monotone, so the slot id bounds the KF count
+        # without a device fetch (LoopClosing.cc:114-120 refractory gates)
+        if kf - self.last_loop_kf < REFRACTORY_KFS or kf < 11:
             return state
         cand = self._detect_loop(state, kf, bow)
         if cand is None:
@@ -121,30 +147,23 @@ class LoopCloser:
 
     # -- DetectLoop --------------------------------------------------------
     def _detect_loop(self, state: ms.MapState, kf: int, bow) -> int | None:
-        covis = np.asarray(ms.covisible_keyframes(state, kf, 30))
-        covis = covis[covis >= 0]
-        if len(covis) == 0:
-            return None
         q_word, q_weight = bow
-        scores = np.asarray(database.sparse_score_rows(
-            self.bow_store, jnp.asarray(covis), q_word, q_weight))
-        min_score = float(scores.min()) if len(scores) else 0.0
-        keep, all_scores = database.detect_loop_candidates_sparse(
-            self.bow_store, state, q_word, q_weight, jnp.asarray(kf),
-            jnp.asarray(min_score, jnp.float32),
-        )
-        cand_slots = np.nonzero(np.asarray(keep))[0]
+        top_ids, top_s, groups, has_covis = jax.device_get(_detect_device(
+            self.bow_store, state, q_word, q_weight, jnp.asarray(kf)))
+        if not bool(has_covis):
+            return None
+        live = np.isfinite(top_s)
+        cand_slots = top_ids[live]
         if len(cand_slots) == 0:
             self.consistent_groups.clear()
             return None
         # consistency chaining (LoopClosing.cc:153-226)
-        covis_np = np.asarray(state.covis)
         new_groups: list[tuple[set, int]] = []
         enough: list[int] = []
-        for c in cand_slots:
-            group = {int(c)} | {
-                int(x) for x in np.nonzero(covis_np[c] > 0)[0]
-            }
+        scores = {}
+        for c, s, grow in zip(cand_slots, top_s[live], groups[live]):
+            group = {int(c)} | {int(x) for x in np.nonzero(grow)[0]}
+            scores[int(c)] = float(s)
             consistency = 0
             for prev_group, prev_count in self.consistent_groups:
                 if group & prev_group:
@@ -156,8 +175,7 @@ class LoopCloser:
         if not enough:
             return None
         # strongest candidate by raw score
-        s = np.asarray(all_scores)
-        return int(max(enough, key=lambda c: s[c]))
+        return int(max(enough, key=lambda c: scores[c]))
 
     # -- ComputeSim3 -------------------------------------------------------
     def _per_feature_points(self, state: ms.MapState, kf: int):
@@ -316,23 +334,26 @@ class LoopCloser:
                       loop_pts: np.ndarray) -> ms.MapState:
         """Sim3 propagation + loop fusion + pose graph + GBA job
         (`src/LoopClosing.cc:403-583`)."""
-        poses = state.kf_pose  # (K,4,4) — Siw with scale 1
+        # ONE pose fetch for the whole correction (per-element device reads
+        # cost a tunnel round trip EACH — the naive loop took minutes at a
+        # loop event on remote-attached TPU)
+        poses_np = np.asarray(state.kf_pose)  # (K,4,4) — Siw with scale 1
         kf_valid = np.asarray(state.kf_valid)
+        S_cl = np.asarray(S_cur_loop)
 
         # corrected Sim3 of the current KF (LoopClosing.cc:316):
         # mg2oScw = gScm * gSmw (Scm from solver, Smw = loop KF pose)
-        S_loop_w = poses[match_kf]  # scale-1 Sim3
-        S_corr_cur = S_cur_loop @ S_loop_w  # corrected Scw of current KF
+        S_corr_cur = S_cl @ poses_np[match_kf]  # corrected Scw of current KF
 
         # propagate to the current KF's covisible window (:436-467)
         window = np.asarray(ms.covisible_keyframes(state, kf, ms.MAX_OBS))
         window = [kf] + [int(x) for x in window[window >= 0]]
-        S_old_cur = poses[kf]
+        S_old_cur_inv = np.linalg.inv(poses_np[kf])
         corr = {}
         for k in window:
             if not kf_valid[k]:
                 continue
-            S_ik = poses[k] @ se3.se3_inv(S_old_cur)  # relative (scale 1)
+            S_ik = poses_np[k] @ S_old_cur_inv  # relative (scale 1)
             corr[k] = S_ik @ S_corr_cur
         # correct the window's points through their ref poses (:469-499)
         pt_mask = np.zeros(state.pt_capacity, bool)
@@ -349,8 +370,8 @@ class LoopCloser:
         upd_ids = np.nonzero(pt_mask)[0]
         if len(upd_ids):
             refs = pt_ref[upd_ids]
-            S_old = np.stack([np.asarray(poses[int(r)]) for r in refs])
-            S_new = np.stack([np.asarray(corr[int(r)]) for r in refs])
+            S_old = poses_np[refs]
+            S_new = np.stack([corr[int(r)] for r in refs])
             pw = state.pt_pos[jnp.asarray(upd_ids)]
             p_cam = jnp.einsum("nij,nj->ni", jnp.asarray(S_old)[:, :3, :3], pw) \
                 + jnp.asarray(S_old)[:, :3, 3]
@@ -361,9 +382,13 @@ class LoopCloser:
                 pt_pos=state.pt_pos.at[jnp.asarray(upd_ids)].set(p_new)
             )
         # write corrected poses (scale folded back to SE3, :459-467)
-        new_poses = np.asarray(poses).copy()
+        new_poses = poses_np.copy()
         for k, S in corr.items():
-            new_poses[k] = np.asarray(pose_graph.sim3_to_se3(S))
+            s = np.cbrt(np.linalg.det(S[:3, :3]))
+            T = np.eye(4, dtype=new_poses.dtype)
+            T[:3, :3] = S[:3, :3] / s
+            T[:3, 3] = S[:3, 3] / s
+            new_poses[k] = T
         state = state._replace(kf_pose=jnp.asarray(new_poses))
 
         # --- loop fusion of the matched features (:516-533):

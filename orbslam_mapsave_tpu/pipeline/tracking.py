@@ -419,7 +419,7 @@ class Tracker:
     def __init__(self, cam: projection.Camera, builder: frame_mod.FrameBuilder,
                  state: ms.MapState, cfg: TrackerConfig,
                  n_levels: int = 4, scale_factor: float = 1.5,
-                 mapper=None, fetch_every: int = 4):
+                 mapper=None, fetch_every: int = 10):
         from . import fused_step
 
         self.cam = cam

@@ -187,22 +187,33 @@ def _kmajority(desc_bits: np.ndarray, k: int, rng: np.random.Generator,
                iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Binary k-means with majority-vote centroids (FORB::meanValue
     analogue). desc_bits: (N,256) uint8 {0,1}. Returns (centroids (k,256),
-    assignment (N,))."""
+    assignment (N,)).
+
+    Distances run on a packed (N,4) uint64 view with hardware popcount —
+    64x less traffic than the unpacked (N,k,256) boolean compare (training
+    the bench vocabulary dropped from ~30 min to seconds)."""
     N = desc_bits.shape[0]
     k = min(k, N)
+    packed = np.packbits(desc_bits, axis=1, bitorder="little")
+    packed64 = np.ascontiguousarray(packed).view(np.uint64)  # (N,4)
     sel = rng.choice(N, k, replace=False)
-    cent = desc_bits[sel].astype(np.uint8)
+    cent_bits = desc_bits[sel].astype(np.uint8)
     assign = np.zeros(N, np.int64)
     for _ in range(iters):
-        d = (desc_bits[:, None, :] != cent[None, :, :]).sum(-1)
+        cent64 = np.ascontiguousarray(
+            np.packbits(cent_bits, axis=1, bitorder="little")
+        ).view(np.uint64)  # (k,4)
+        d = np.bitwise_count(
+            packed64[:, None, :] ^ cent64[None, :, :]
+        ).sum(-1, dtype=np.int32)
         assign = d.argmin(-1)
         for c in range(k):
             m = assign == c
             if m.any():
-                cent[c] = (desc_bits[m].mean(0) >= 0.5).astype(np.uint8)
+                cent_bits[c] = (desc_bits[m].mean(0) >= 0.5).astype(np.uint8)
             else:
-                cent[c] = desc_bits[rng.integers(N)]
-    return cent, assign
+                cent_bits[c] = desc_bits[rng.integers(N)]
+    return cent_bits, assign
 
 
 def train(descriptors: np.ndarray, k: int = 10, L: int = 3,
