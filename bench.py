@@ -20,8 +20,16 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# The axon sitecustomize imports jax at interpreter startup, so env-var
+# mutation here is a NO-OP — the persistent compile cache must be enabled
+# through jax.config.update after import (verified: with only the env vars,
+# jax.config.jax_compilation_cache_dir stays None and nothing is cached).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 

@@ -1,0 +1,168 @@
+"""TPU-native human-pose backbone for the `OpDetector` pipeline.
+
+The reference's gait system runs the OpenPose BODY_25 CUDA backbone
+(`/root/reference/src/DetectHumanPose.cpp:100-220`: netInputSize 320x176,
+one person, keypoints consumed as (25,3) [x,y,conf]). That CUDA/Caffe
+backbone has no place in a TPU framework; this module provides the
+TPU-first equivalent: a fully-convolutional heatmap network in flax whose
+convolutions land on the MXU in bfloat16, decoded with a soft-argmax that
+stays on device. The contract downstream (`apps/human_pose.py:OpDetector`)
+is exactly the reference's: image -> (25,3) [x_px, y_px, confidence].
+
+No pretrained OpenPose weights exist in this environment (zero egress), so
+the net ships with a training loop against the synthetic skeleton renderer
+(`render_stick_figure`) — the same approach the rest of the framework uses
+(exact-ground-truth synthetic data instead of undownloadable datasets).
+`tests/test_pose_net.py` trains it for a few hundred steps and asserts the
+joint localization error collapses, proving the full backbone->Kalman->
+3D-lift->mask chain is runnable end to end on TPU.
+
+Architecture notes (hardware-first, not an OpenPose translation):
+- stride-4 encoder / heatmap head, channels in MXU-friendly multiples;
+- bfloat16 conv compute with float32 params and loss;
+- static shapes throughout, decode via global soft-argmax (no dynamic
+  NMS — single-person regime, matching the fork which tracks one subject).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # flax is baked into the image; gate anyway per environment rules
+    import flax.linen as nn
+    HAVE_FLAX = True
+except Exception:  # pragma: no cover
+    HAVE_FLAX = False
+
+from .pose_synth import N_JOINTS, render_batch
+
+STRIDE = 4  # heatmap stride vs input
+
+
+if HAVE_FLAX:
+
+    class ConvBlock(nn.Module):
+        features: int
+        stride: int = 1
+
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                        dtype=jnp.bfloat16)(x)
+            x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+            return nn.relu(x)
+
+    class PoseNet(nn.Module):
+        """Grayscale (H, W, 1) -> (H/4, W/4, 25) joint heatmaps."""
+
+        width: int = 64
+
+        @nn.compact
+        def __call__(self, x):
+            w = self.width
+            x = ConvBlock(w, stride=2)(x)          # /2
+            x = ConvBlock(w)(x)
+            x = ConvBlock(2 * w, stride=2)(x)      # /4
+            x = ConvBlock(2 * w)(x)
+            x = ConvBlock(2 * w)(x)
+            # dilated context instead of deeper strides: keeps the heatmap
+            # at /4 so decoding precision stays ~2 px pre-softargmax
+            x = nn.Conv(2 * w, (3, 3), kernel_dilation=(2, 2),
+                        dtype=jnp.bfloat16)(x)
+            x = nn.relu(x)
+            x = ConvBlock(2 * w)(x)
+            x = nn.Conv(N_JOINTS, (1, 1), dtype=jnp.float32)(x)
+            return x.astype(jnp.float32)
+
+
+def init_params(key, height: int, width: int, net_width: int = 64):
+    net = PoseNet(width=net_width)
+    params = net.init(key, jnp.zeros((1, height, width, 1), jnp.float32))
+    return net, params
+
+
+def decode_heatmaps(hm: jax.Array) -> jax.Array:
+    """(h, w, 25) heatmaps -> (25, 3) [x_px, y_px, conf] via soft-argmax.
+
+    Global spatial softmax per joint; confidence is the peak sigmoid
+    response (what `DetectHumanPose.cpp` thresholds at render_threshold).
+    """
+    h, w, j = hm.shape
+    flat = hm.reshape(h * w, j)
+    p = jax.nn.softmax(flat * 4.0, axis=0)  # sharpen
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    py = p.reshape(h, w, j).sum(axis=1)  # (h, j)
+    px = p.reshape(h, w, j).sum(axis=0)  # (w, j)
+    y = (py.T @ ys) * STRIDE + STRIDE / 2 - 0.5
+    x = (px.T @ xs) * STRIDE + STRIDE / 2 - 0.5
+    conf = jax.nn.sigmoid(flat.max(axis=0))
+    return jnp.stack([x, y, conf], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _infer(net, params, gray):
+    x = (gray.astype(jnp.float32) / 255.0)[None, :, :, None]
+    hm = net.apply(params, x)[0]
+    return decode_heatmaps(hm)
+
+
+def make_backbone(net, params):
+    """Wrap trained (net, params) as the `OpDetector(backbone=...)`
+    callable: gray (H, W) uint8/float -> np (25, 3) [x, y, conf]."""
+
+    def backbone(gray):
+        return np.asarray(_infer(net, params, jnp.asarray(gray)))
+
+    return backbone
+
+
+def gaussian_targets(joints: jax.Array, h: int, w: int,
+                     sigma: float = 2.0) -> jax.Array:
+    """(B, 25, 2) px joints -> (B, h, w, 25) Gaussian heatmaps at STRIDE."""
+    ys = (jnp.arange(h, dtype=jnp.float32) * STRIDE + STRIDE / 2 - 0.5)
+    xs = (jnp.arange(w, dtype=jnp.float32) * STRIDE + STRIDE / 2 - 0.5)
+    jy = joints[..., 1][:, None, None, :]  # (B,1,1,25)
+    jx = joints[..., 0][:, None, None, :]
+    d2 = ((ys[None, :, None, None] - jy) ** 2
+          + (xs[None, None, :, None] - jx) ** 2)
+    return jnp.exp(-d2 / (2.0 * sigma * sigma * STRIDE * STRIDE))
+
+
+def train_on_synthetic(height: int = 96, width: int = 96, steps: int = 300,
+                       batch: int = 16, net_width: int = 32, lr: float = 2e-3,
+                       seed: int = 0):
+    """Train PoseNet on the stick-figure renderer; returns (net, params).
+
+    Small enough to run in a test (~tens of seconds on CPU); on a real
+    chip the same loop scales to production sizes via the batch dim.
+    """
+    import optax
+
+    key = jax.random.PRNGKey(seed)
+    net, params = init_params(key, height, width, net_width)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    hh, ww = height // STRIDE, width // STRIDE
+
+    @jax.jit
+    def step(params, opt_state, imgs, joints):
+        def loss_fn(p):
+            hm = net.apply(p, imgs[..., None] / 255.0)
+            tgt = gaussian_targets(joints, hh, ww)
+            return jnp.mean((jax.nn.sigmoid(hm * 4.0) - tgt) ** 2) * 100.0
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        imgs, joints = render_batch(rng, batch, height, width)
+        params, opt_state, _ = step(params, opt_state,
+                                    jnp.asarray(imgs), jnp.asarray(joints))
+    return net, params

@@ -23,6 +23,7 @@ from ..geometry import projection
 from ..io import trajectory as traj_io
 from ..ops import orb
 from ..slammap import mapstate as ms
+from ..utils import compile_cache
 from . import frame as frame_mod
 from . import local_mapping, tracking
 
@@ -42,6 +43,7 @@ class SLAMSystem:
                  vocabulary=None, reuse_map_path: str | None = None,
                  enable_loop_closing: bool = True,
                  enable_mapping: bool = True):
+        compile_cache.enable()  # persistent XLA cache for every entry point
         self.cfg = cfg
         self.sensor = sensor
         c = cfg.camera
