@@ -58,9 +58,12 @@ def sample_skeleton(rng: np.random.Generator, height: int, width: int):
     R = np.array([[c, -s], [s, c]], np.float32)
     joints = joints @ R.T * scale
     span = joints.max(0) - joints.min(0)
-    cx = rng.uniform(span[0] / 2 + 4, width - span[0] / 2 - 4)
-    cy = rng.uniform(-joints[:, 1].min() + 4,
-                     height - joints[:, 1].max() - 4)
+    # bounds can invert for tall rotated samples (scale near 0.75*height);
+    # clamp so the figure always fits with margin (ADVICE r2)
+    cx_lo = span[0] / 2 + 4
+    cx = rng.uniform(cx_lo, max(width - span[0] / 2 - 4, cx_lo))
+    cy_lo = -joints[:, 1].min() + 4
+    cy = rng.uniform(cy_lo, max(height - joints[:, 1].max() - 4, cy_lo))
     joints[:, 0] += cx
     joints[:, 1] += cy
     return joints

@@ -112,6 +112,7 @@ def search_by_projection_points(
     bounds: jax.Array, scale_factors: jax.Array,
     th: float = 1.0, nn_ratio: float = 0.8,
     n_levels: int = 4, scale_factor: float = 1.5,
+    dist_th: int = hamming.TH_HIGH, use_ratio: bool = True,
 ):
     """Local-map search. Returns (matches (N,) i32 candidate-row or -1,
     n_matches, visible_mask (P,)).
@@ -119,6 +120,11 @@ def search_by_projection_points(
     kp_matched: features that already hold a map point are skipped
     (`src/ORBmatcher.cc:61` pMP->mbTrackInView=false path and the
     bestDist<=TH_HIGH assignment loop skipping matched features).
+
+    dist_th/use_ratio: the relocalization re-search overload
+    (`src/ORBmatcher.cc:1475-1602`) gates on an explicit ORBdist
+    (100 then 64) with NO second-best ratio test — pass use_ratio=False
+    and the ORBdist there.
     """
     N = kp_xy.shape[0]
     ok, uv, _, dist, view_cos = frustum_check(
@@ -140,9 +146,11 @@ def search_by_projection_points(
     # best level vs second level ratio rule (ORBmatcher.cc:109-116):
     # apply ratio only if bestLevel == bestLevel2 — approximated by always
     # applying the ratio (stricter, documented deviation).
-    good = ok & (best <= hamming.TH_HIGH) & (
-        best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
-    )
+    good = ok & (best <= dist_th)
+    if use_ratio:
+        good = good & (
+            best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+        )
     matches = _resolve_conflicts(idx, best, good, N)
     return matches, jnp.sum((matches >= 0).astype(jnp.int32)), ok
 

@@ -32,15 +32,19 @@ class GBAJob:
     """One in-flight global bundle adjustment over a map snapshot."""
 
     def __init__(self, state: ms.MapState, cam: projection.Camera,
-                 inv_level_sigma2, n_iters: int = 10, robust: bool = False):
+                 inv_level_sigma2, n_iters: int = 10, robust: bool = False,
+                 cg_iters: int = 25):
         self.snap_n_kf = int(state.n_kf)
         self.snap_n_pt = int(state.n_pt)
         self.snap_kf_pose = state.kf_pose  # pre-GBA poses (mTcwBefGBA)
-        # async dispatch: this returns device futures, not results
+        # async dispatch: this returns device futures, not results.
+        # cg_iters=25: the block-Jacobi PCG reaches the 1e-3 relative
+        # tolerance well under 25 iterations on covisibility-conditioned
+        # maps; the 100-iter ceiling only burned time on the serial chip
         self.kf_pose_gba, self.pt_pos_gba, self.cost = (
             global_ba.full_bundle_adjustment(
                 cam, state, jnp.asarray(inv_level_sigma2),
-                n_iters=n_iters, robust=robust,
+                n_iters=n_iters, robust=robust, cg_iters=cg_iters,
             )
         )
         self.aborted = False

@@ -96,10 +96,8 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0))
     )
     pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
-    _, lidx = jax.lax.top_k(pt_flag.astype(jnp.int32),
-                            min(L_CAP, state.pt_capacity))
-    l_ok = pt_flag[lidx] > 0
-    lidx = jnp.where(l_ok, lidx.astype(jnp.int32), -1)
+    lidx = ms.compact_indices(pt_flag, min(L_CAP, state.pt_capacity))
+    l_ok = lidx >= 0
 
     # cameras observing local points: local ∪ fixed
     obs_kf = state.pt_obs_kf[jnp.clip(lidx, 0)]  # (L,O)
@@ -482,14 +480,8 @@ class LocalMapper:
                 flat = pts_nb.reshape(-1)
                 flag = jnp.zeros(P, jnp.int8).at[jnp.clip(flat, 0)].max(
                     jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
-                flag = jnp.where(state.pt_valid, flag, 0).astype(jnp.int32)
-                fcap = min(FUSE_CAP, P)
-                pos = jnp.cumsum(flag) - flag
-                okp = (flag > 0) & (pos < fcap)
-                cand = jnp.full(fcap, -1, jnp.int32).at[
-                    jnp.where(okp, pos, fcap - 1)
-                ].max(jnp.where(okp, jnp.arange(P, dtype=jnp.int32), -1),
-                      mode="drop")
+                flag = jnp.where(state.pt_valid, flag, 0)
+                cand = ms.compact_indices(flag, min(FUSE_CAP, P))
                 state = fuse_into_keyframe(
                     state, kf_slot, cand, cam, bounds_, scale_factors_,
                     inv_ls2_, n_levels, scale_factor)

@@ -40,6 +40,12 @@ CONSISTENCY_TH = 3  # LoopClosing.cc:43
 REFRACTORY_KFS = 10  # LoopClosing.cc:115
 LOOP_PT_CAP = 4096  # loop-neighbourhood point window for fusion
 DETECT_TOP = 8  # candidates fetched per detection (one device round trip)
+FUSE_WINDOW = 24  # window KFs fused/reconnected at a loop event (the
+# reference walks current + ALL covisibles, `src/LoopClosing.cc:432`;
+# capped to the top covisibles so the correction program has a static,
+# bounded fuse cost)
+EDGE_CAP_PER_KF = 16  # essential-graph edge capacity = 16 * K (spanning +
+# loop + covis>=100 edges; overflow edges are dropped by compaction order)
 
 
 @jax.jit
@@ -104,6 +110,10 @@ class LoopCloser:
         self.consistent_groups: list[tuple[set, int]] = []
         self.events: list[LoopEvent] = []
         self.pending_gba: gba_mod.GBAJob | None = None
+        self._correct_device = None  # jitted correction program (lazy)
+        self._essential_device = None  # jitted pose-graph program (lazy)
+        self._sim3_device = None  # jitted ComputeSim3 program (lazy)
+        self._bow_one = None  # jitted per-KF BoW program (lazy)
 
     # -- BoW bookkeeping ---------------------------------------------------
     def _ensure_store(self, state: ms.MapState):
@@ -112,13 +122,63 @@ class LoopCloser:
             self.bow_store = database.empty_sparse_store(
                 state.kf_capacity, m
             )
+            self._bow_one = None
+
+    def _build_bow_one(self, m: int):
+        transform = self.transform
+
+        @jax.jit
+        def bow_one(state: ms.MapState, kf):
+            out = transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+            return vocabulary.sparse_bow(out["word"], out["weight"], m)
+
+        return bow_one
 
     def compute_bow(self, state: ms.MapState, kf: int):
         """Sparse BoW row (words, weights) for one keyframe
-        (`KeyFrame::ComputeBoW`, `src/KeyFrame.cc:781-789`)."""
-        out = self.transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+        (`KeyFrame::ComputeBoW`, `src/KeyFrame.cc:781-789`) — ONE jitted
+        program (`sparse_bow` outside jit dispatched ~20 ops per keyframe,
+        ~40 ms of launch latency on a remote-attached chip)."""
         m = self.bow_store.word.shape[1]
-        return vocabulary.sparse_bow(out["word"], out["weight"], m)
+        if getattr(self, "_bow_one", None) is None:
+            self._bow_one = self._build_bow_one(m)
+        return self._bow_one(state, jnp.asarray(kf, jnp.int32))
+
+    def rebuild_store(self, state: ms.MapState) -> None:
+        """Recompute BoW rows for EVERY valid keyframe of a loaded map.
+
+        The reference rebuilds its KeyFrameDatabase after `LoadMap` by
+        walking the loaded keyframes: `ComputeBoW` + `KeyFrameDatabase.add`
+        (`src/System.cc:155-171`, esp. `:162-163`) — without this,
+        relocalization against a loaded map only sees keyframes added
+        after the load. One jitted scan over all slots; invalid slots get
+        empty rows."""
+        if self.voc is None:
+            return
+        self.bow_store = None
+        self._ensure_store(state)
+        transform = self.transform
+        m = self.bow_store.word.shape[1]
+        pad = jnp.iinfo(jnp.int32).max
+
+        @jax.jit
+        def rebuild(store, state):
+            def body(store, kf):
+                out = transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+                w, v = vocabulary.sparse_bow(out["word"], out["weight"], m)
+                live = state.kf_valid[kf]
+                w = jnp.where(live, w, pad)
+                v = jnp.where(live, v, 0.0)
+                return database.SparseBowStore(
+                    word=store.word.at[kf].set(w),
+                    weight=store.weight.at[kf].set(v),
+                ), None
+
+            store, _ = jax.lax.scan(
+                body, store, jnp.arange(state.kf_capacity, dtype=jnp.int32))
+            return store
+
+        self.bow_store = rebuild(self.bow_store, state)
 
     # -- main entry --------------------------------------------------------
     def process(self, state: ms.MapState, kf: int) -> ms.MapState:
@@ -193,248 +253,270 @@ class LoopCloser:
             bits=hamming.unpack_bits(state.pt_desc[safe]),
         )
 
+    def _build_sim3_device(self):
+        """The whole ComputeSim3 chain (`src/LoopClosing.cc:232-401`) as ONE
+        jitted program with STATIC shapes.
+
+        The round-2 host orchestration compacted the match set with
+        `np.nonzero` — a different match count at every candidate meant a
+        fresh RANSAC/Sim3-LM compile per loop event (minutes each over the
+        compile tunnel) plus ~10 synchronizing fetches. Here every stage
+        runs over fixed feature-aligned (N,) lanes with validity masks, and
+        the acceptance gates (>= 20 matches, RANSAC ok, >= 20 Sim3 inliers,
+        >= 40 total) come back as flags in one fetch."""
+        cam = self.cam
+        fix_scale = self.fix_scale
+        bounds = self.bounds
+        scale_factors = self.scale_factors
+        n_levels = self.n_levels
+        scale_factor = self.scale_factor
+        level_sigma2 = self.level_sigma2
+
+        @jax.jit
+        def run(state: ms.MapState, kf, cand, key):
+            N = state.n_features
+            P = state.pt_capacity
+            b1 = hamming.unpack_bits(state.kf_desc[kf])
+            b2 = hamming.unpack_bits(state.kf_desc[cand])
+            f1 = self._per_feature_points(state, kf)
+            f2 = self._per_feature_points(state, cand)
+            matches, n = matching.search_by_descriptor(
+                b1, f1["ok"], b2, f2["ok"],
+                state.kf_kp_angle[kf], state.kf_kp_angle[cand],
+                th=hamming.TH_LOW, nn_ratio=0.75,
+            )
+            ok_n = n >= 20  # LoopClosing.cc:268
+            # feature-aligned RANSAC lanes: row i of KF1 matches row
+            # matches[i] of KF2 (invalid lanes masked)
+            m_ok = matches >= 0
+            m_safe = jnp.clip(matches, 0)
+            T1 = state.kf_pose[kf]
+            T2 = state.kf_pose[cand]
+            pc1 = se3.transform_points(T1, f1["world"])
+            pc2 = se3.transform_points(T2, f2["world"][m_safe])
+            uv1 = state.kf_kp_xy[kf]
+            uv2 = state.kf_kp_xy[cand][m_safe]
+            nl = level_sigma2.shape[0]
+            o1 = jnp.clip(state.kf_kp_octave[kf], 0, nl - 1)
+            o2 = jnp.clip(state.kf_kp_octave[cand][m_safe], 0, nl - 1)
+            me1 = sim3solver.CHI2_SIM3 * level_sigma2[o1]
+            me2 = sim3solver.CHI2_SIM3 * level_sigma2[o2]
+            S12, inl, n_inl, ok_ransac = sim3solver.ransac_sim3(
+                key, pc1, pc2, uv1, uv2, 300, fix_scale,
+                max_err1=me1, max_err2=me2, valid=m_ok,
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                min_inliers=20,
+            )
+
+            # guided extension (`SearchBySim3`, ORBmatcher.cc:1105-1329)
+            match12 = jnp.where(m_ok & inl, matches, -1)
+            already1 = match12 >= 0
+            already2 = jnp.zeros(N, bool).at[jnp.clip(match12, 0)].max(
+                already1)
+            extra12, _ = matching.search_by_sim3(
+                cam, T1, T2, S12,
+                state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
+                state.kf_kp_valid[kf], f1["world"], f1["ok"], f1["mind"],
+                f1["maxd"], f1["bits"],
+                state.kf_kp_xy[cand], state.kf_kp_octave[cand], b2,
+                state.kf_kp_valid[cand], f2["world"], f2["ok"], f2["mind"],
+                f2["maxd"], f2["bits"],
+                already1, already2,
+                bounds, scale_factors, th=7.5,
+                n_levels=n_levels, scale_factor=scale_factor,
+            )
+            match12 = jnp.where(match12 >= 0, match12,
+                                jnp.where(extra12 >= 0, extra12, -1))
+
+            # Sim3 optimization over the extended set (OptimizeSim3)
+            e_ok = match12 >= 0
+            e_safe = jnp.clip(match12, 0)
+            o2e = jnp.clip(state.kf_kp_octave[cand][e_safe], 0, nl - 1)
+            obs = sim3_opt.Sim3Obs(
+                pc1=pc1,
+                pc2=se3.transform_points(T2, f2["world"][e_safe]),
+                uv1=uv1,
+                uv2=state.kf_kp_xy[cand][e_safe],
+                inv_sigma2_1=1.0 / level_sigma2[o1],
+                inv_sigma2_2=1.0 / level_sigma2[o2e],
+                valid=e_ok,
+            )
+            S12_opt, inl2, n2 = sim3_opt.optimize_sim3(
+                cam, S12, obs, fix_scale)
+            ok_n2 = n2 >= 20  # LoopClosing.cc:327-331
+
+            # matched loop point per current-KF feature
+            matched_pt = jnp.where(e_ok & inl2,
+                                   f2["ids"][e_safe], -1).astype(jnp.int32)
+
+            # mScw = gScm * gSmw (:333-336)
+            Scw = S12_opt @ T2
+
+            # loop-neighbourhood points (mvpLoopMapPoints, :353-374):
+            # points of cand + its covisibles, compacted to LOOP_PT_CAP
+            neigh = ms.covisible_keyframes(state, cand, ms.MAX_OBS)
+            rows = jnp.concatenate(
+                [cand[None].astype(jnp.int32),
+                 jnp.where(neigh >= 0, neigh, cand)])
+            row_ok = jnp.concatenate([jnp.asarray([True]), neigh >= 0])
+            pts_rows = jnp.where(row_ok[:, None],
+                                 state.kf_kp_point[rows], -1)
+            flat = pts_rows.reshape(-1)
+            flag = jnp.zeros(P, jnp.int8).at[jnp.clip(flat, 0)].max(
+                jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
+            flag = jnp.where(state.pt_valid, flag, 0)
+            loop_pts = ms.compact_indices(flag, min(LOOP_PT_CAP, P))
+            has_loop_pts = jnp.any(loop_pts >= 0)
+
+            # Scw projection search over the loop points (:376-386)
+            lp = jnp.clip(loop_pts, 0)
+            matched_flag = jnp.zeros(P, bool).at[
+                jnp.clip(matched_pt, 0)].max(matched_pt >= 0)
+            lp_ok = (loop_pts >= 0) & state.pt_valid[lp] & ~matched_flag[lp]
+            proj, _ = matching.search_by_projection_scw(
+                cam, Scw,
+                state.pt_pos[lp], lp_ok,
+                0.8 * state.pt_min_dist[lp], 1.2 * state.pt_max_dist[lp],
+                state.pt_normal[lp], hamming.unpack_bits(state.pt_desc[lp]),
+                state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
+                state.kf_kp_valid[kf], matched_pt >= 0,
+                bounds, scale_factors, th=10.0,
+                n_levels=n_levels, scale_factor=scale_factor,
+            )
+            matched_pt = jnp.where(
+                (matched_pt < 0) & (proj >= 0),
+                loop_pts[jnp.clip(proj, 0)], matched_pt)
+
+            total = jnp.sum((matched_pt >= 0).astype(jnp.int32))
+            accept = ok_n & ok_ransac & ok_n2 & has_loop_pts & (total >= 40)
+            return dict(accept=accept, S12=S12_opt, n2=n2,
+                        matched_pt=matched_pt, loop_pts=loop_pts)
+
+        return run
+
     def _compute_sim3(self, state: ms.MapState, kf: int, cand: int):
-        b1 = hamming.unpack_bits(state.kf_desc[kf])
-        b2 = hamming.unpack_bits(state.kf_desc[cand])
-        f1 = self._per_feature_points(state, kf)
-        f2 = self._per_feature_points(state, cand)
-        matches, n = matching.search_by_descriptor(
-            b1, f1["ok"], b2, f2["ok"],
-            state.kf_kp_angle[kf], state.kf_kp_angle[cand],
-            th=hamming.TH_LOW, nn_ratio=0.75,
-        )
-        if int(n) < 20:  # LoopClosing.cc:268
+        if self._sim3_device is None:
+            self._sim3_device = self._build_sim3_device()
+        out = jax.device_get(self._sim3_device(
+            state, jnp.asarray(kf, jnp.int32), jnp.asarray(cand, jnp.int32),
+            jax.random.PRNGKey(kf)))
+        if not bool(out["accept"]):
             return None
-        m = np.asarray(matches)
-        sel1 = np.nonzero(m >= 0)[0]
-        sel2 = m[sel1]
-        T1 = state.kf_pose[kf]
-        T2 = state.kf_pose[cand]
-        pw1 = f1["world"][jnp.asarray(sel1)]
-        pw2 = f2["world"][jnp.asarray(sel2)]
-        pc1 = se3.transform_points(T1, pw1)
-        pc2 = se3.transform_points(T2, pw2)
-        uv1 = state.kf_kp_xy[kf][jnp.asarray(sel1)]
-        uv2 = state.kf_kp_xy[cand][jnp.asarray(sel2)]
-        oct1 = np.asarray(state.kf_kp_octave[kf])[sel1]
-        oct2 = np.asarray(state.kf_kp_octave[cand])[sel2]
-        ls2 = np.asarray(self.level_sigma2)
-        me1 = jnp.asarray(sim3solver.CHI2_SIM3 * ls2[np.clip(oct1, 0, len(ls2) - 1)],
-                          jnp.float32)
-        me2 = jnp.asarray(sim3solver.CHI2_SIM3 * ls2[np.clip(oct2, 0, len(ls2) - 1)],
-                          jnp.float32)
-        S12, inl, n_inl, ok = sim3solver.ransac_sim3(
-            jax.random.PRNGKey(kf), pc1, pc2, uv1, uv2, 300, self.fix_scale,
-            max_err1=me1, max_err2=me2,
-            fx=self.cam.fx, fy=self.cam.fy, cx=self.cam.cx, cy=self.cam.cy,
-            min_inliers=20,
-        )
-        if not bool(ok):
-            return None
-
-        # guided extension (`SearchBySim3`, ORBmatcher.cc:1105-1329):
-        # keep the RANSAC inliers as the base match set, extend by
-        # bidirectional Sim3 projection with mutual agreement
-        inl_np = np.asarray(inl)
-        N = b1.shape[0]
-        match12 = np.full(N, -1, np.int64)  # feature of kf -> feature of cand
-        match12[sel1[inl_np]] = sel2[inl_np]
-        already1 = jnp.asarray(match12 >= 0)
-        already2_np = np.zeros(N, bool)
-        already2_np[match12[match12 >= 0]] = True
-        extra12, _ = matching.search_by_sim3(
-            self.cam, T1, T2, S12,
-            state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
-            state.kf_kp_valid[kf], f1["world"], f1["ok"], f1["mind"],
-            f1["maxd"], f1["bits"],
-            state.kf_kp_xy[cand], state.kf_kp_octave[cand], b2,
-            state.kf_kp_valid[cand], f2["world"], f2["ok"], f2["mind"],
-            f2["maxd"], f2["bits"],
-            already1, jnp.asarray(already2_np),
-            self.bounds, self.scale_factors, th=7.5,
-            n_levels=self.n_levels, scale_factor=self.scale_factor,
-        )
-        extra_np = np.asarray(extra12)
-        fresh = (match12 < 0) & (extra_np >= 0)
-        match12[fresh] = extra_np[fresh]
-
-        # Sim3 optimization over the extended set (OptimizeSim3, :327-331)
-        s1 = np.nonzero(match12 >= 0)[0]
-        s2 = match12[s1]
-        pc1e = se3.transform_points(T1, f1["world"][jnp.asarray(s1)])
-        pc2e = se3.transform_points(T2, f2["world"][jnp.asarray(s2)])
-        o1 = np.asarray(state.kf_kp_octave[kf])[s1]
-        o2 = np.asarray(state.kf_kp_octave[cand])[s2]
-        obs = sim3_opt.Sim3Obs(
-            pc1=pc1e, pc2=pc2e,
-            uv1=state.kf_kp_xy[kf][jnp.asarray(s1)],
-            uv2=state.kf_kp_xy[cand][jnp.asarray(s2)],
-            inv_sigma2_1=jnp.asarray(
-                1.0 / ls2[np.clip(o1, 0, len(ls2) - 1)], jnp.float32),
-            inv_sigma2_2=jnp.asarray(
-                1.0 / ls2[np.clip(o2, 0, len(ls2) - 1)], jnp.float32),
-            valid=jnp.ones(len(s1), bool),
-        )
-        S12_opt, inl2, n2 = sim3_opt.optimize_sim3(
-            self.cam, S12, obs, self.fix_scale
-        )
-        if int(n2) < 20:  # LoopClosing.cc:327-331
-            return None
-        inl2_np = np.asarray(inl2)
-
-        # matched loop point per current-KF feature (mvpCurrentMatchedPoints)
-        matched_pt = np.full(N, -1, np.int64)
-        pts2_np = np.asarray(f2["ids"])
-        matched_pt[s1[inl2_np]] = pts2_np[s2[inl2_np]]
-
-        # mScw = gScm * gSmw (LoopClosing.cc:333-336)
-        Scw = S12_opt @ T2
-
-        # loop-neighbourhood points (mvpLoopMapPoints, :353-374)
-        neigh = np.asarray(ms.covisible_keyframes(state, cand, ms.MAX_OBS))
-        kfs = [cand] + [int(x) for x in neigh[neigh >= 0]]
-        fwd = np.asarray(state.kf_kp_point)
-        pt_valid_np = np.asarray(state.pt_valid)
-        pt_ids = set()
-        for k in kfs:
-            ids = fwd[k]
-            ids = ids[ids >= 0]
-            pt_ids.update(int(i) for i in ids[pt_valid_np[ids]])
-        loop_pts = np.fromiter(sorted(pt_ids), np.int64) if pt_ids else \
-            np.zeros(0, np.int64)
-        if len(loop_pts) == 0:
-            return None
-
-        # Scw projection search over the loop points (:376-386)
-        lp = jnp.asarray(loop_pts)
-        already_pt = jnp.asarray(
-            np.isin(loop_pts, matched_pt[matched_pt >= 0]))
-        proj, _ = matching.search_by_projection_scw(
-            self.cam, Scw,
-            state.pt_pos[lp], state.pt_valid[lp] & ~already_pt,
-            0.8 * state.pt_min_dist[lp], 1.2 * state.pt_max_dist[lp],
-            state.pt_normal[lp], hamming.unpack_bits(state.pt_desc[lp]),
-            state.kf_kp_xy[kf], state.kf_kp_octave[kf], b1,
-            state.kf_kp_valid[kf], jnp.asarray(matched_pt >= 0),
-            self.bounds, self.scale_factors, th=10.0,
-            n_levels=self.n_levels, scale_factor=self.scale_factor,
-        )
-        proj_np = np.asarray(proj)  # per-feature loop-point row or -1
-        fresh = (matched_pt < 0) & (proj_np >= 0)
-        matched_pt[fresh] = loop_pts[proj_np[fresh]]
-
-        total = int((matched_pt >= 0).sum())
-        if total < 40:  # LoopClosing.cc:386
-            return None
-        return S12_opt, cand, int(n2), matched_pt, loop_pts
+        return (out["S12"], cand, int(out["n2"]),
+                np.asarray(out["matched_pt"]), np.asarray(out["loop_pts"]))
 
     # -- CorrectLoop -------------------------------------------------------
+    def _build_correct_device(self):
+        """One jitted program for the whole loop correction
+        (`src/LoopClosing.cc:403-583` minus pose graph/GBA): Sim3
+        propagation to the covisible window, point re-mapping, matched-
+        feature fusion, SearchAndFuse + UpdateConnections over the window,
+        loop-edge insertion. The round-2 host version dispatched ~70 small
+        programs with numpy fetches between them — multi-second stalls on
+        a remote-attached chip."""
+        cam = self.cam
+        bounds = self.bounds
+        scale_factors = self.scale_factors
+        inv_ls2 = self.inv_level_sigma2
+        n_levels = self.n_levels
+        scale_factor = self.scale_factor
+
+        @jax.jit
+        def correct(state: ms.MapState, kf, match_kf, S_cl, matched_pt,
+                    loop_pts):
+            K = state.kf_capacity
+            P = state.pt_capacity
+            poses = state.kf_pose
+            # window = current KF + its covisibles (:432)
+            wmask = (state.covis[kf] > 0) & state.kf_valid
+            wmask = wmask.at[kf].set(True)
+            # corrected Sim3 per window KF: S_ik @ (gScm @ Smw) (:436-467)
+            S_corr_cur = S_cl @ poses[match_kf]
+            S_ik = poses @ se3.se3_inv(poses[kf])  # (K,4,4) relative, scale 1
+            corr = S_ik @ S_corr_cur  # (K,4,4) corrected Scw (Sim3)
+            # point correction through the FIRST window observer (:469-499)
+            obs_kf = state.pt_obs_kf
+            in_win = (obs_kf >= 0) & wmask[jnp.clip(obs_kf, 0)]
+            has = in_win.any(-1) & state.pt_valid
+            first_lane = jnp.argmax(in_win, -1)
+            ref = obs_kf[jnp.arange(P), first_lane]
+            safe_ref = jnp.clip(ref, 0)
+            S_old = poses[safe_ref]  # (P,4,4) scale-1 pose
+            S_new_inv = se3.sim3_inv(corr)[safe_ref]
+            p_cam = jnp.einsum("pij,pj->pi", S_old[:, :3, :3],
+                               state.pt_pos) + S_old[:, :3, 3]
+            p_new = jnp.einsum("pij,pj->pi", S_new_inv[:, :3, :3], p_cam) \
+                + S_new_inv[:, :3, 3]
+            pt_pos = jnp.where(has[:, None], p_new, state.pt_pos)
+            # corrected poses folded back to SE3 (:459-467)
+            s_w, R_w, t_w = se3.sim3_split(corr)
+            T_w = se3.rt_to_mat(R_w, t_w / s_w[..., None])
+            kf_pose = jnp.where(wmask[:, None, None], T_w, poses)
+            state = state._replace(pt_pos=pt_pos, kf_pose=kf_pose)
+
+            # matched-feature fusion on the current KF (:516-533)
+            N = state.n_features
+            existing = state.kf_kp_point[kf]
+            has_match = matched_pt >= 0
+            merge = has_match & (existing >= 0) & (existing != matched_pt)
+            src = jnp.where(merge, existing, -1)
+            dst = jnp.where(merge, matched_pt, -1)
+            state = ms.merge_points(state, src, dst, merge)
+            feat = jnp.arange(N, dtype=jnp.int32)
+            add = has_match & (state.kf_kp_point[kf] < 0)
+            state = ms.add_observations(state, kf, matched_pt, feat, add)
+            state = ms.compute_distinctive_descriptors_idx(
+                state, jnp.clip(matched_pt, 0), add)
+
+            # SearchAndFuse + UpdateConnections over the top-FUSE_WINDOW
+            # window KFs (:585-611, :544-562), sequential inside the program
+            w = jnp.where(wmask, state.covis[kf], -1).at[kf].set(1 << 30)
+            _, win_kfs = jax.lax.top_k(w, min(FUSE_WINDOW, K))
+            win_ok = jnp.take_along_axis(
+                w, win_kfs, 0) > 0
+
+            def fuse_body(i, st):
+                k = win_kfs[i]
+
+                def do(st):
+                    st = local_mapping.fuse_into_keyframe(
+                        st, k, loop_pts, cam, bounds, scale_factors,
+                        inv_ls2, n_levels, scale_factor,
+                        th=4.0, prefer_candidate=True,
+                    )
+                    return ms.update_connections(st, k)
+
+                return jax.lax.cond(win_ok[i], do, lambda s: s, st)
+
+            state = jax.lax.fori_loop(0, win_kfs.shape[0], fuse_body, state)
+
+            # loop edge (:567-570): first free lane on each side
+            le = state.kf_loop_edges
+            free1 = jnp.argmax(le[kf] < 0)
+            free2 = jnp.argmax(le[match_kf] < 0)
+            state = state._replace(
+                kf_loop_edges=le.at[kf, free1].set(match_kf)
+                .at[match_kf, free2].set(kf)
+            )
+            return state
+
+        return correct
+
     def _correct_loop(self, state: ms.MapState, kf: int, match_kf: int,
                       S_cur_loop: jax.Array, matched_pt: np.ndarray,
                       loop_pts: np.ndarray) -> ms.MapState:
         """Sim3 propagation + loop fusion + pose graph + GBA job
         (`src/LoopClosing.cc:403-583`)."""
-        # ONE pose fetch for the whole correction (per-element device reads
-        # cost a tunnel round trip EACH — the naive loop took minutes at a
-        # loop event on remote-attached TPU)
-        poses_np = np.asarray(state.kf_pose)  # (K,4,4) — Siw with scale 1
-        kf_valid = np.asarray(state.kf_valid)
-        S_cl = np.asarray(S_cur_loop)
-
-        # corrected Sim3 of the current KF (LoopClosing.cc:316):
-        # mg2oScw = gScm * gSmw (Scm from solver, Smw = loop KF pose)
-        S_corr_cur = S_cl @ poses_np[match_kf]  # corrected Scw of current KF
-
-        # propagate to the current KF's covisible window (:436-467)
-        window = np.asarray(ms.covisible_keyframes(state, kf, ms.MAX_OBS))
-        window = [kf] + [int(x) for x in window[window >= 0]]
-        S_old_cur_inv = np.linalg.inv(poses_np[kf])
-        corr = {}
-        for k in window:
-            if not kf_valid[k]:
-                continue
-            S_ik = poses_np[k] @ S_old_cur_inv  # relative (scale 1)
-            corr[k] = S_ik @ S_corr_cur
-        # correct the window's points through their ref poses (:469-499)
-        pt_mask = np.zeros(state.pt_capacity, bool)
-        fwd = np.asarray(state.kf_kp_point)
-        pt_ref = np.full(state.pt_capacity, -1, np.int64)
-        for k in window:
-            if k not in corr:
-                continue
-            ids = fwd[k]
-            ids = ids[ids >= 0]
-            fresh = ~pt_mask[ids]
-            pt_mask[ids] = True
-            pt_ref[ids[fresh]] = k
-        upd_ids = np.nonzero(pt_mask)[0]
-        if len(upd_ids):
-            refs = pt_ref[upd_ids]
-            S_old = poses_np[refs]
-            S_new = np.stack([corr[int(r)] for r in refs])
-            pw = state.pt_pos[jnp.asarray(upd_ids)]
-            p_cam = jnp.einsum("nij,nj->ni", jnp.asarray(S_old)[:, :3, :3], pw) \
-                + jnp.asarray(S_old)[:, :3, 3]
-            S_new_inv = se3.sim3_inv(jnp.asarray(S_new))
-            p_new = jnp.einsum("nij,nj->ni", S_new_inv[:, :3, :3], p_cam) \
-                + S_new_inv[:, :3, 3]
-            state = state._replace(
-                pt_pos=state.pt_pos.at[jnp.asarray(upd_ids)].set(p_new)
-            )
-        # write corrected poses (scale folded back to SE3, :459-467)
-        new_poses = poses_np.copy()
-        for k, S in corr.items():
-            s = np.cbrt(np.linalg.det(S[:3, :3]))
-            T = np.eye(4, dtype=new_poses.dtype)
-            T[:3, :3] = S[:3, :3] / s
-            T[:3, 3] = S[:3, 3] / s
-            new_poses[k] = T
-        state = state._replace(kf_pose=jnp.asarray(new_poses))
-
-        # --- loop fusion of the matched features (:516-533):
-        # feature already holds a point -> replaced BY the loop point;
-        # empty feature -> new observation of the loop point
-        N = state.n_features
-        mp = jnp.asarray(matched_pt.astype(np.int32))
-        existing = state.kf_kp_point[kf]
-        has_match = mp >= 0
-        merge = has_match & (existing >= 0) & (existing != mp)
-        src = jnp.where(merge, existing, -1)
-        dst = jnp.where(merge, mp, -1)
-        state = ms.merge_points(state, src, dst, merge)
-        feat = jnp.arange(N, dtype=jnp.int32)
-        add = has_match & (state.kf_kp_point[kf] < 0)
-        state = ms.add_observations(state, kf, mp, feat, add)
-        state = ms.compute_distinctive_descriptors_idx(
-            state, jnp.clip(mp, 0), add)
-
-        # --- SearchAndFuse over the corrected window (:585-611): project
-        # the loop points into every window KF with th=4; the window KF's
-        # duplicate points are replaced by the loop points
-        lp_pad = np.full(min(LOOP_PT_CAP, state.pt_capacity), -1, np.int64)
-        lp_pad[: min(len(loop_pts), len(lp_pad))] = \
-            loop_pts[: len(lp_pad)]
-        lp_dev = jnp.asarray(lp_pad.astype(np.int32))
-        for k in window:
-            if not kf_valid[k]:
-                continue
-            state = local_mapping.fuse_into_keyframe(
-                state, k, lp_dev, self.cam, self.bounds, self.scale_factors,
-                self.inv_level_sigma2, self.n_levels, self.scale_factor,
-                th=4.0, prefer_candidate=True,
-            )
-        # refresh connections of the window (new cross-loop links,
-        # :544-562) — fused points now link both sides of the loop
-        for k in window:
-            if kf_valid[k]:
-                state = ms.update_connections(state, jnp.asarray(k))
-
-        # add loop edge (:567-570)
-        le = state.kf_loop_edges
-        free1 = int(np.argmax(np.asarray(le[kf]) < 0))
-        free2 = int(np.argmax(np.asarray(le[match_kf]) < 0))
-        state = state._replace(
-            kf_loop_edges=le.at[kf, free1].set(match_kf).at[match_kf, free2].set(kf)
+        if self._correct_device is None:
+            self._correct_device = self._build_correct_device()
+        lp_pad = np.full(min(LOOP_PT_CAP, int(state.pt_capacity)), -1,
+                         np.int64)
+        lp_pad[: min(len(loop_pts), len(lp_pad))] = loop_pts[: len(lp_pad)]
+        state = self._correct_device(
+            state, jnp.asarray(kf, jnp.int32), jnp.asarray(match_kf, jnp.int32),
+            jnp.asarray(S_cur_loop, jnp.float32),
+            jnp.asarray(matched_pt.astype(np.int32)),
+            jnp.asarray(lp_pad.astype(np.int32)),
         )
 
         # essential-graph optimization (:565)
@@ -489,67 +571,80 @@ class LoopCloser:
         job, self.pending_gba = self.pending_gba, None
         return job.apply(state)
 
+    def _build_essential_device(self):
+        """One jitted program: device-side edge extraction (STATIC edge
+        capacity — the round-2 host `np.nonzero` produced a different edge
+        count at every loop event, recompiling the pose-graph program
+        (~minutes over the compile tunnel) per event) + 20-iteration Sim3
+        pose graph + point correction."""
+
+        @jax.jit
+        def run(state: ms.MapState, kf, match_kf):
+            K = state.kf_capacity
+            E_CAP = EDGE_CAP_PER_KF * K
+            valid = state.kf_valid
+            ids = jnp.arange(K, dtype=jnp.int32)
+            # symmetric edge mask: spanning tree + loop edges + covis>=100
+            # + the current loop pair (`src/Optimizer.cc:781-1062`)
+            mask = (state.covis >= ms.ESSENTIAL_MIN_WEIGHT)
+            par = state.kf_parent
+            pe = (par >= 0) & valid & valid[jnp.clip(par, 0)]
+            mask = mask.at[ids, jnp.clip(par, 0)].max(pe)
+            le = state.kf_loop_edges  # (K,E)
+            le_ok = le >= 0
+            rows = jnp.broadcast_to(ids[:, None], le.shape)
+            mask = mask.at[rows, jnp.clip(le, 0)].max(le_ok)
+            mask = mask.at[kf, match_kf].set(True)
+            mask = mask | mask.T
+            mask = mask & valid[:, None] & valid[None, :]
+            mask = mask & (ids[:, None] < ids[None, :])  # upper triangle
+            # compact the (K,K) mask into E_CAP static edge lanes
+            flat = mask.reshape(-1)
+            pos = jnp.cumsum(flat.astype(jnp.int32)) - flat
+            okp = flat & (pos < E_CAP)
+            lin = jnp.arange(K * K, dtype=jnp.int32)
+            buf = jnp.full(E_CAP, -1, jnp.int32).at[
+                jnp.where(okp, pos, E_CAP - 1)
+            ].max(jnp.where(okp, lin, -1), mode="drop")
+            e_ok = buf >= 0
+            ei = jnp.where(e_ok, buf // K, 0)
+            ej = jnp.where(e_ok, buf % K, 0)
+            poses = state.kf_pose
+            meas = poses[ei] @ se3.se3_inv(poses[ej])
+            fixed = jnp.zeros(K, bool).at[match_kf].set(True)  # Optimizer.cc:820
+            prob = pose_graph.PoseGraphProblem(
+                S_init=poses,
+                fixed=fixed,
+                valid=valid,
+                edge_i=ei,
+                edge_j=ej,
+                edge_meas=meas,
+                edge_valid=e_ok,
+                edge_weight=jnp.ones(E_CAP, jnp.float32),
+            )
+            S_opt, _ = pose_graph.optimize_pose_graph(prob, n_iters=20)
+            # correct points through reference KFs (Optimizer.cc:1031-1060)
+            refs = state.pt_ref_kf
+            safe_ref = jnp.clip(refs, 0, K - 1)
+            S_old_ref = poses[safe_ref]
+            S_new_ref = S_opt[safe_ref]
+            p_new = pose_graph.correct_points(state.pt_pos, S_old_ref,
+                                              S_new_ref)
+            upd = state.pt_valid & (refs >= 0)
+            return state._replace(
+                pt_pos=jnp.where(upd[:, None], p_new, state.pt_pos),
+                kf_pose=jnp.where(valid[:, None, None],
+                                  pose_graph.sim3_to_se3(S_opt),
+                                  state.kf_pose),
+            )
+
+        return run
+
     def _essential_graph(self, state: ms.MapState, kf: int, match_kf: int):
         """Essential-graph pose relaxation (`Optimizer::OptimizeEssentialGraph`,
         `src/Optimizer.cc:781-1062`): spanning-tree edges + loop edges +
         covisibility edges with weight >= 100, the matched KF fixed."""
-        K = state.kf_capacity
-        covis = np.asarray(state.covis)
-        parent = np.asarray(state.kf_parent)
-        loops = np.asarray(state.kf_loop_edges)
-        kf_valid = np.asarray(state.kf_valid)
-        poses_np = np.asarray(state.kf_pose)
-
-        # vectorized edge extraction (the O(K) python loop was flagged in
-        # round 1): spanning tree, loop edges, strong covisibility
-        ids = np.arange(K)
-        pe = (parent >= 0) & kf_valid & kf_valid[np.clip(parent, 0, None)]
-        e_par = np.stack([ids[pe], parent[pe]], -1)
-        le_i, le_j = np.nonzero(loops >= 0)
-        lv = loops[le_i, le_j]
-        lm_ok = kf_valid[le_i] & kf_valid[lv]
-        e_loop = np.stack([le_i[lm_ok], lv[lm_ok]], -1)
-        cw = (covis >= ms.ESSENTIAL_MIN_WEIGHT) & kf_valid[:, None] & \
-            kf_valid[None, :]
-        ci, cj = np.nonzero(np.triu(cw, 1))
-        e_cov = np.stack([ci, cj], -1)
-        e_cur = np.array([[kf, match_kf]])
-        alle = np.concatenate([e_par, e_loop, e_cov, e_cur], 0)
-        lo = np.minimum(alle[:, 0], alle[:, 1])
-        hi = np.maximum(alle[:, 0], alle[:, 1])
-        enc = np.unique(lo.astype(np.int64) * K + hi)
-        ei = (enc // K).astype(np.int32)
-        ej = (enc % K).astype(np.int32)
-        if len(ei) == 0:
-            return state
-        meas = np.einsum(
-            "eij,ejk->eik", poses_np[ei],
-            np.asarray(se3.se3_inv(jnp.asarray(poses_np[ej])))
-        )
-        fixed = np.zeros(K, bool)
-        fixed[match_kf] = True  # the loop KF is fixed (Optimizer.cc:820-823)
-        prob = pose_graph.PoseGraphProblem(
-            S_init=jnp.asarray(poses_np),
-            fixed=jnp.asarray(fixed),
-            valid=state.kf_valid,
-            edge_i=jnp.asarray(ei),
-            edge_j=jnp.asarray(ej),
-            edge_meas=jnp.asarray(meas, jnp.float32),
-            edge_valid=jnp.ones(len(ei), bool),
-            edge_weight=jnp.ones(len(ei), jnp.float32),
-        )
-        S_opt, _ = pose_graph.optimize_pose_graph(prob, n_iters=20)
-        # correct points through reference KFs (Optimizer.cc:1031-1060)
-        refs = np.asarray(state.pt_ref_kf)
-        valid_pt = np.asarray(state.pt_valid)
-        safe_ref = np.clip(refs, 0, K - 1)
-        S_old_ref = jnp.asarray(poses_np[safe_ref])
-        S_new_ref = S_opt[jnp.asarray(safe_ref)]
-        p_new = pose_graph.correct_points(state.pt_pos, S_old_ref, S_new_ref)
-        upd = jnp.asarray(valid_pt & (refs >= 0))
-        state = state._replace(
-            pt_pos=jnp.where(upd[:, None], p_new, state.pt_pos),
-            kf_pose=jnp.where(state.kf_valid[:, None, None],
-                              pose_graph.sim3_to_se3(S_opt), state.kf_pose),
-        )
-        return state
+        if self._essential_device is None:
+            self._essential_device = self._build_essential_device()
+        return self._essential_device(
+            state, jnp.asarray(kf, jnp.int32), jnp.asarray(match_kf, jnp.int32))

@@ -38,6 +38,14 @@ class Relocalizer:
         self.cam = cam
         self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
         self.level_sigma2 = 1.0 / self.inv_level_sigma2
+        # pyramid geometry recovered from the sigma table:
+        # sigma2(level) = scale_factor^(2*level)
+        self.scale_factors = jnp.sqrt(self.level_sigma2).astype(jnp.float32)
+        self.n_levels = int(self.level_sigma2.shape[0])
+        self.scale_factor_ = (
+            float(self.scale_factors[1]) / max(float(self.scale_factors[0]),
+                                               1e-9)
+            if self.n_levels > 1 else 1.5)
         self.voc = voc
         self.transform = vocabulary.make_transform_packed(voc) if voc else None
         self.bow_store_ref = bow_store_ref  # callable -> store or None
@@ -48,15 +56,60 @@ class Relocalizer:
         cam = self.cam
         level_sigma2 = self.level_sigma2
         inv_ls2 = self.inv_level_sigma2
+        bounds = projection.compute_image_bounds(cam)
 
         @jax.jit
         def batch(state: ms.MapState, frame, cand_ids: jax.Array,
                   key: jax.Array):
             """All candidates in one program. Returns per-candidate
             (n_matches, pose, matched_pt, n_inl) after matching + RANSAC +
-            pose LM."""
+            pose LM + the reference's widening projection re-search ladder
+            (`src/Tracking.cc:1709-1758`): < 50 inliers -> re-search with
+            th=10/ORBdist=100 over the candidate KF's points and
+            re-optimize; then 30..50 -> narrow re-search th=3/ORBdist=64
+            and re-optimize. The caller applies the hard >= 50 acceptance
+            (`:1754`)."""
             sigma2 = level_sigma2[
                 jnp.clip(frame.kp_octave, 0, level_sigma2.shape[0] - 1)]
+
+            def opt_pose(pose0, matched_pt):
+                obs = pose_opt.PoseObs(
+                    pt_w=state.pt_pos[jnp.clip(matched_pt, 0)],
+                    uv=frame.kp_xy, ur=frame.kp_ur,
+                    inv_sigma2=inv_ls2[jnp.clip(frame.kp_octave, 0)],
+                    valid=matched_pt >= 0,
+                )
+                pose, inlier, n_opt = pose_opt.pose_optimization_xla(
+                    cam, pose0, obs)
+                return pose, jnp.where(inlier, matched_pt, -1), n_opt
+
+            def re_search(cand, pose, matched_pt, th, dist_th):
+                """Projection re-search over the candidate KF's points not
+                already in the match set (`sFound` exclusion,
+                `src/Tracking.cc:1717-1721`)."""
+                kf_pts = state.kf_kp_point[cand]
+                ok = state.kf_kp_valid[cand] & (kf_pts >= 0)
+                safe = jnp.clip(kf_pts, 0)
+                ok = ok & state.pt_valid[safe]
+                # exclude points already matched in this frame
+                already = jnp.zeros(state.pt_capacity, bool).at[
+                    jnp.clip(matched_pt, 0)
+                ].set(matched_pt >= 0)
+                ok = ok & ~already[safe]
+                new_m, _, _ = matching.search_by_projection_points(
+                    cam, pose,
+                    frame.kp_xy, frame.kp_octave, frame.desc_bits,
+                    frame.valid, matched_pt >= 0,
+                    state.pt_pos[safe], state.pt_normal[safe],
+                    state.pt_min_dist[safe], state.pt_max_dist[safe],
+                    hamming.unpack_bits(state.pt_desc[safe]), ok,
+                    bounds, self.scale_factors, th=th,
+                    n_levels=self.n_levels, scale_factor=self.scale_factor_,
+                    dist_th=dist_th, use_ratio=False,
+                )
+                return jnp.where(
+                    (new_m >= 0) & (matched_pt < 0),
+                    kf_pts[jnp.clip(new_m, 0)], matched_pt)
 
             def one(cand, k):
                 kf_bits = hamming.unpack_bits(state.kf_desc[cand])
@@ -79,15 +132,27 @@ class Relocalizer:
                 )
                 matched_pt = jnp.where(inl, matched_pt, -1)
                 # PoseOptimization on the RANSAC inliers (Tracking.cc:1680)
-                obs = pose_opt.PoseObs(
-                    pt_w=state.pt_pos[jnp.clip(matched_pt, 0)],
-                    uv=frame.kp_xy, ur=frame.kp_ur,
-                    inv_sigma2=inv_ls2[jnp.clip(frame.kp_octave, 0)],
-                    valid=matched_pt >= 0,
-                )
-                pose2, inlier2, n_opt = pose_opt.pose_optimization_xla(
-                    cam, pose, obs)
-                matched_pt = jnp.where(inlier2, matched_pt, -1)
+                pose2, matched_pt, n_opt = opt_pose(pose, matched_pt)
+
+                # widening ladder (`:1709-1752`) — executed unconditionally
+                # (vmap turns lax.cond into select anyway); results only
+                # replace the current ones while the gate is unmet
+                def ladder(pose2, matched_pt, n_opt):
+                    m1 = re_search(cand, pose2, matched_pt, 10.0, 100)
+                    pose3, m1b, n1 = opt_pose(pose2, m1)
+                    take1 = n_opt < 50
+                    pose2 = jnp.where(take1, pose3, pose2)
+                    matched_pt = jnp.where(take1, m1b, matched_pt)
+                    n_opt = jnp.where(take1, n1, n_opt)
+                    m2 = re_search(cand, pose2, matched_pt, 3.0, 64)
+                    pose4, m2b, n2 = opt_pose(pose2, m2)
+                    take2 = (n_opt > 30) & (n_opt < 50)
+                    pose2 = jnp.where(take2, pose4, pose2)
+                    matched_pt = jnp.where(take2, m2b, matched_pt)
+                    n_opt = jnp.where(take2, n2, n_opt)
+                    return pose2, matched_pt, n_opt
+
+                pose2, matched_pt, n_opt = ladder(pose2, matched_pt, n_opt)
                 ok_all = ransac_ok & (n >= 15)
                 return n, pose2, matched_pt, jnp.where(ok_all, n_opt, 0)
 
@@ -130,10 +195,9 @@ class Relocalizer:
         n_opt_h = np.asarray(n_opt).copy()
         n_opt_h[len(cands):] = 0  # padded rows
         best = int(np.argmax(n_opt_h))
-        # accept >= 50 inliers (Tracking.cc:1754); the widening projection
-        # re-search (:1709-1758) is folded into the subsequent
-        # TrackLocalMap pass with th=5, so >= 25 proceeds provisionally
-        if n_opt_h[best] >= 25:
+        # hard >= 50-inlier acceptance after the widening re-search ladder
+        # (`src/Tracking.cc:1754`) — the ladder runs inside the batch
+        if n_opt_h[best] >= 50:
             return (np.asarray(pose[best]), matched[best],
                     int(n_opt_h[best]))
         return None

@@ -127,6 +127,11 @@ class SLAMSystem:
             self.localization_only = True
             self.tracker.state = tracking.LOST
             self.tracker.disallow_kf = True
+            # rebuild the BoW database over the loaded keyframes so
+            # relocalization retrieves over the WHOLE map
+            # (`src/System.cc:155-171`)
+            if self.loop_closer is not None:
+                self.loop_closer.rebuild_store(self.map)
 
     # ------ frame entry points (System.cc:261-490) ------
     def track_rgbd(self, image, depth, timestamp: float):
@@ -258,6 +263,11 @@ class SLAMSystem:
         self.tracker._init_frame = None
         self.tracker.needs_reset = False
         self.tracker.mb_vo = False
+        # allocator watermarks are per-map: stale warm-run values would
+        # trigger a spurious compaction (flush + device sync) on the first
+        # frames after reset (ADVICE r2)
+        self.tracker.n_pt_watermark = 0
+        self.tracker.n_kf_watermark = 0
         if self.mapper is not None:
             self.mapper.recent_start = None
         if self.loop_closer is not None:
@@ -266,6 +276,7 @@ class SLAMSystem:
                 self.loop_closer.pending_gba = None
             self.loop_closer.bow_store = None
             self.loop_closer.consistent_groups.clear()
+            self.loop_closer.events.clear()
             from . import loop_closing as lc_mod
 
             self.loop_closer.last_loop_kf = -lc_mod.REFRACTORY_KFS - 1
@@ -294,6 +305,10 @@ class SLAMSystem:
         self.tracker.flush()
         self.map = mapio.load_map(path)
         self.tracker.map = self.map
+        if self.loop_closer is not None:
+            # KeyFrameDatabase rebuild over the loaded map
+            # (`src/System.cc:155-171`)
+            self.loop_closer.rebuild_store(self.map)
         # reuse mode starts LOST in localization (System.cc:90, Tracking.cc:167-171)
         self.tracker.state = tracking.LOST
         self.localization_only = True

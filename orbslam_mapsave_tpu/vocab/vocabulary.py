@@ -323,7 +323,9 @@ def make_transform_packed(voc: Vocabulary, levelsup: int = 4):
 
     Input is the packed (N,32) u8 descriptor block (no unpack needed)."""
     children = jnp.asarray(voc.children)  # (Nn,k)
-    child_desc = jnp.asarray(voc.desc)  # (Nn,32) u8
+    # u32 lanes: 4x fewer popcount/xor ops than u8 (same 32 bytes/node)
+    child_desc = jnp.asarray(
+        np.ascontiguousarray(voc.desc).view(np.uint32))  # (Nn,8) u32
     weight = jnp.asarray(voc.weight)
     word_id = jnp.asarray(voc.word_id)
     L = voc.L
@@ -332,13 +334,15 @@ def make_transform_packed(voc: Vocabulary, levelsup: int = 4):
     @jax.jit
     def transform(desc_u8: jax.Array, valid: jax.Array):
         N = desc_u8.shape[0]
+        desc_u32 = jax.lax.bitcast_convert_type(
+            desc_u8.reshape(desc_u8.shape[0], 8, 4), jnp.uint32)  # (N,8)
         cur = jnp.zeros(N, jnp.int32)
         fv_node = jnp.zeros(N, jnp.int32)
         for depth in range(L + 1):
             ch = children[cur]  # (N,k)
             has = ch >= 0
-            cb = child_desc[jnp.clip(ch, 0)]  # (N,k,32) u8
-            x = jnp.bitwise_xor(cb, desc_u8[:, None, :])
+            cb = child_desc[jnp.clip(ch, 0)]  # (N,k,8) u32
+            x = jnp.bitwise_xor(cb, desc_u32[:, None, :])
             d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), -1)
             d = jnp.where(has, d, 1 << 20)
             best = jnp.argmin(d, -1)

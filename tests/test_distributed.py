@@ -100,8 +100,9 @@ def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    pose, n = jax.jit(fn)(*args)
-    assert pose.shape == (4, 4)
+    state, ctrl, out = jax.jit(fn)(*args)
+    assert out.pose.shape == (4, 4)
+    assert state.kf_pose.shape[1:] == (4, 4)
 
 
 @pytest.mark.slow

@@ -66,6 +66,10 @@ for rep in range(2):  # rep 0 = warmup/compile, rep 1 = measured
         t_track += time.perf_counter() - tt
         timed_run()
     slam.tracker.flush()
+    # restore poll_gba before timing the flush: flush_gba() calls it, so a
+    # monkeypatched poll would double-count into both t_poll and
+    # t_gba_flush (ADVICE r2)
+    lc.poll_gba = orig_poll
     tg = time.perf_counter()
     slam.flush_gba()
     t_gba_flush = time.perf_counter() - tg
