@@ -102,6 +102,18 @@ class OpDetector:
         self.joints_3d = np.zeros((N_JOINTS, 3))
         self.skeleton_log: list[np.ndarray] = []  # for Save-Skeleton export
 
+    @classmethod
+    def with_pretrained(cls, weights_path=None, **kw) -> "OpDetector":
+        """Detector backed by the SHIPPED trained heatmap net
+        (`models/weights/pose_net_96.npz`) — the analogue of the reference
+        constructing OpenPose from its configured model folder
+        (`DetectHumanPose.cpp:14-131`). Falls back to backbone=None if the
+        artifact is absent."""
+        from ..models import pose_net
+
+        return cls(backbone=pose_net.make_pretrained_backbone(weights_path),
+                   **kw)
+
     @property
     def available(self) -> bool:
         return self.backbone is not None

@@ -19,37 +19,48 @@ import jax.numpy as jnp
 
 class Camera(NamedTuple):
     """Intrinsics + distortion, mirroring the camera YAML keys
-    (`Examples/ORB_RGBD640x480.yaml:7-46`)."""
+    (`Examples/ORB_RGBD640x480.yaml:7-46`).
 
-    fx: jax.Array
-    fy: jax.Array
-    cx: jax.Array
-    cy: jax.Array
-    k1: jax.Array
-    k2: jax.Array
-    p1: jax.Array
-    p2: jax.Array
-    k3: jax.Array
-    bf: jax.Array  # baseline * fx (stereo/RGB-D); 0 for pure mono
+    Fields are PYTHON FLOATS, not device arrays, on purpose: camera
+    parameters appear inside every jitted program, and a jit-CLOSED-OVER
+    device array (even a 0-d scalar) permanently degrades the axon
+    runtime's program dispatch for the whole process (~0.05 ms ->
+    ~9 ms per program execution, measured; see docs/PERF.md). Python
+    floats become HLO literals at trace time — free and safe. The same
+    rule holds everywhere: jitted closures may capture python scalars and
+    NUMPY arrays (literals), never `jnp` arrays; device-resident tables
+    must be ARGUMENTS."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float
+    k2: float
+    p1: float
+    p2: float
+    k3: float
+    bf: float  # baseline * fx (stereo/RGB-D); 0 for pure mono
     width: int = 640
     height: int = 480
 
     @staticmethod
     def create(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0, bf=0.0,
-               width=640, height=480, dtype=jnp.float32) -> "Camera":
-        f = lambda v: jnp.asarray(v, dtype)
+               width=640, height=480, dtype=None) -> "Camera":
+        del dtype  # kept for call-site compatibility; params are floats
+        f = float
         return Camera(f(fx), f(fy), f(cx), f(cy), f(k1), f(k2), f(p1), f(p2),
                       f(k3), f(bf), int(width), int(height))
 
     @property
-    def K(self) -> jax.Array:
-        z = jnp.zeros_like(self.fx)
-        o = jnp.ones_like(self.fx)
-        return jnp.stack([
-            jnp.stack([self.fx, z, self.cx]),
-            jnp.stack([z, self.fy, self.cy]),
-            jnp.stack([z, z, o]),
-        ])
+    def K(self) -> "np.ndarray":
+        import numpy as np
+
+        return np.array([
+            [self.fx, 0.0, self.cx],
+            [0.0, self.fy, self.cy],
+            [0.0, 0.0, 1.0],
+        ], np.float32)
 
     @property
     def has_distortion(self) -> bool:
@@ -137,22 +148,41 @@ def in_image(cam: Camera, uv: jax.Array, min_x: jax.Array, max_x: jax.Array,
     )
 
 
-def compute_image_bounds(cam: Camera) -> jax.Array:
-    """Undistorted image bounds [min_x, max_x, min_y, max_y].
+def compute_image_bounds(cam: Camera) -> "np.ndarray":
+    """Undistorted image bounds [min_x, max_x, min_y, max_y] as a NUMPY
+    array, computed ENTIRELY on host. Two reasons: the result is captured
+    as a jit-closure constant everywhere (device arrays there are
+    forbidden, see Camera docstring), and running `undistort_points`
+    eagerly would execute a `fori_loop` whose body captures a concrete
+    device array — the very poison pattern, fired from every constructor.
 
     Mirrors `Frame::ComputeImageBounds` (`src/Frame.cc:542-572`): undistort
     the four corners and take min/max.
     """
-    corners = jnp.array(
-        [[0.0, 0.0], [cam.width, 0.0], [0.0, cam.height], [cam.width, cam.height]],
-        dtype=cam.fx.dtype,
+    import numpy as np
+
+    corners = np.array(
+        [[0.0, 0.0], [cam.width, 0.0], [0.0, cam.height],
+         [cam.width, cam.height]], np.float64,
     )
-    und = undistort_points(cam, corners)
-    return jnp.array(
+    # the fixed-point iteration of undistort_points, in numpy
+    x0 = (corners[:, 0] - cam.cx) / cam.fx
+    y0 = (corners[:, 1] - cam.cy) / cam.fy
+    x, y = x0.copy(), y0.copy()
+    for _ in range(10):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        dx = 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
+        dy = cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
+        x = (x0 - dx) / radial
+        y = (y0 - dy) / radial
+    u = x * cam.fx + cam.cx
+    v = y * cam.fy + cam.cy
+    return np.array(
         [
-            jnp.minimum(und[0, 0], und[2, 0]),
-            jnp.maximum(und[1, 0], und[3, 0]),
-            jnp.minimum(und[0, 1], und[1, 1]),
-            jnp.maximum(und[2, 1], und[3, 1]),
-        ]
+            min(u[0], u[2]),
+            max(u[1], u[3]),
+            min(v[0], v[1]),
+            max(v[2], v[3]),
+        ], np.float32,
     )

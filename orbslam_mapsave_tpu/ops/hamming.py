@@ -23,7 +23,10 @@ TH_HIGH = 100
 TH_LOW = 50
 HISTO_LENGTH = 30
 
-_BIG = jnp.int32(1 << 20)  # sentinel distance for invalid entries
+# sentinel distance for invalid entries — a PYTHON int on purpose:
+# `jnp.int32(...)` at module level is a device array, and a jit-captured
+# device constant poisons axon dispatch (see projection.Camera docstring)
+_BIG = 1 << 20
 
 
 def unpack_bits(desc: jax.Array) -> jax.Array:

@@ -126,6 +126,7 @@ def search_by_projection_points(
     (100 then 64) with NO second-best ratio test — pass use_ratio=False
     and the ORBdist there.
     """
+    scale_factors = jnp.asarray(scale_factors)
     N = kp_xy.shape[0]
     ok, uv, _, dist, view_cos = frustum_check(
         cam, pose_cw, pt_pos, pt_normal, pt_min_dist, pt_max_dist, bounds
@@ -173,6 +174,7 @@ def search_by_projection_last(
     (the mono branch of the reference; forward/backward gating is a stereo
     refinement folded into this range). Returns (matches (N,), n).
     """
+    scale_factors = jnp.asarray(scale_factors)
     N = kp_xy.shape[0]
     p_cam = se3.transform_points(pose_cw, last_pt_pos)
     uv, z = projection.project(cam, p_cam)
@@ -249,6 +251,7 @@ def search_for_triangulation(
     `src/ORBmatcher.cc:140-157`), candidates not too close to the epipole
     in image 2 (`:745-750`), rotation consistency. Returns (matches (N1,), n).
     """
+    level_sigma2 = jnp.asarray(level_sigma2)
     dmat = hamming.hamming_matrix_bits(desc_bits_1, desc_bits_2)
     mask = valid_1[:, None] & valid_2[None, :]
     # epipole proximity: skip kp2 within 100*scale^2 px^2 of the epipole
@@ -286,6 +289,7 @@ def _sim3_direction(cam, pt_world, pt_ok, pt_min, pt_max, pt_bits,
     Sim3 chain into the target camera, best-descriptor match within
     th*scale(predicted level), octave in [lvl-1, lvl], TH_HIGH gate
     (`src/ORBmatcher.cc:1151-1227`). Returns (match (P,), dist (P,))."""
+    scale_factors = jnp.asarray(scale_factors)
     p_c = se3.sim3_transform_points(S_target_w, pt_world)
     z = p_c[..., 2]
     uv, _ = projection.project(cam, p_c)
@@ -367,6 +371,7 @@ def search_by_projection_scw(
     (`:356-359`), octave in [lvl-1, lvl], radius th*scale(lvl), TH_LOW.
     `kp_matched` features are excluded (`:378-379`). Returns
     (matches (N,) candidate row or -1, n)."""
+    scale_factors = jnp.asarray(scale_factors)
     N = kp_xy.shape[0]
     s, R, t = se3.sim3_split(Scw)
     Rcw = R

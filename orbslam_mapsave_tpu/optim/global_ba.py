@@ -64,6 +64,12 @@ class FullBATables(NamedTuple):
     pt_valid: jax.Array  # (P,) bool
 
 
+O_GBA = 16  # observation lanes per point in the full-map problem (of
+# MAX_OBS=32): rows fill front-to-back, so this drops only tail
+# observations of the rare >16-observer points while halving every (P,O)
+# lane tensor in the CG matvecs (the GBA's dominant traffic)
+
+
 def build_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
                  fixed_mask: jax.Array | None = None) -> FullBATables:
     """Assemble both edge layouts straight from the SoA map state.
@@ -72,14 +78,16 @@ def build_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
     dropped at MAX_OBS capacity (`add_observations` skips full rows); such
     one-sided edges are masked out of the camera-major layout so both
     layouts describe the SAME edge set — PCG needs the operator consistent.
+    Both layouts see only the first O_GBA reverse lanes, keeping the edge
+    sets identical.
     """
     K, N = state.kf_kp_point.shape
-    P, O = state.pt_obs_kf.shape
+    P = state.pt_obs_kf.shape[0]
     n_lv = inv_level_sigma2.shape[0]
 
     # --- point-major ---
-    o_kf = state.pt_obs_kf
-    o_ix = state.pt_obs_idx
+    o_kf = state.pt_obs_kf[:, :O_GBA]
+    o_ix = state.pt_obs_idx[:, :O_GBA]
     po_live = (o_kf >= 0) & state.pt_valid[:, None]
     po_live = po_live & state.kf_valid[jnp.clip(o_kf, 0)]
     sk, si = jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)
@@ -93,8 +101,8 @@ def build_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
     cm_live = (c_pt >= 0) & state.kf_valid[:, None]
     cm_live = cm_live & state.pt_valid[jnp.clip(c_pt, 0)]
     # reverse-lane existence: any lane of pt_obs rows matches (k, n)
-    rev_kf = state.pt_obs_kf[jnp.clip(c_pt, 0)]  # (K,N,O)
-    rev_ix = state.pt_obs_idx[jnp.clip(c_pt, 0)]
+    rev_kf = state.pt_obs_kf[:, :O_GBA][jnp.clip(c_pt, 0)]  # (K,N,O_GBA)
+    rev_ix = state.pt_obs_idx[:, :O_GBA][jnp.clip(c_pt, 0)]
     k_ids = jnp.arange(K, dtype=jnp.int32)[:, None, None]
     n_ids = jnp.arange(N, dtype=jnp.int32)[None, :, None]
     has_rev = ((rev_kf == k_ids) & (rev_ix == n_ids)).any(-1)

@@ -41,10 +41,16 @@ class FrameBuilder:
                  th_depth_m: float | None = None):
         self.cam = cam
         self.spec = spec
-        self.scale_factors = jnp.asarray(
-            [spec.scale_factor**i for i in range(spec.n_levels)], jnp.float32
+        # NUMPY on purpose: these are captured by jitted closures all over
+        # the pipeline, and a closed-over DEVICE array permanently degrades
+        # axon program dispatch (see geometry.projection.Camera docstring)
+        import numpy as _np
+
+        self.scale_factors = _np.asarray(
+            [spec.scale_factor**i for i in range(spec.n_levels)], _np.float32
         )
-        self.inv_level_sigma2 = 1.0 / (self.scale_factors**2)
+        self.inv_level_sigma2 = (1.0 / (self.scale_factors**2)).astype(
+            _np.float32)
         self.bounds = projection.compute_image_bounds(cam)
         self.th_depth_m = th_depth_m  # close/far split (ThDepth * baseline)
 

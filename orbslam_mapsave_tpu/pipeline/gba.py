@@ -33,7 +33,7 @@ class GBAJob:
 
     def __init__(self, state: ms.MapState, cam: projection.Camera,
                  inv_level_sigma2, n_iters: int = 10, robust: bool = False,
-                 cg_iters: int = 25):
+                 cg_iters: int = 30):
         self.snap_n_kf = int(state.n_kf)
         self.snap_n_pt = int(state.n_pt)
         self.snap_kf_pose = state.kf_pose  # pre-GBA poses (mTcwBefGBA)

@@ -41,8 +41,13 @@ from ..geometry import projection
 from ..optim import local_ba
 from ..slammap import mapstate as ms
 
-C_CAP = 64  # max cameras in a local BA window (local + fixed)
+C_CAP = 48  # max local cameras in a BA window (covisible windows in
+# practice hold 10-30 cams; the dense Schur cost scales with C^2)
 L_CAP = 4096  # max points in a local BA window
+O_BA = 16  # observation lanes per point fed to the BA (of ms.MAX_OBS=32):
+# rows fill front-to-back, so the slice drops only the rare >16-observer
+# points' tail observations — halves every (L,O,...) lane tensor in the
+# 15-iteration LM loop
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -79,6 +84,7 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
     - fixed cams: any other KF observing a local point; slot 0 is always
       fixed if present (the reference fixes KF id 0, `Optimizer.cc:510-512`).
     """
+    inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
     K = state.kf_capacity
     ncap = min(C_CAP, K)
 
@@ -133,9 +139,10 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         jnp.where(cam_ok, cam_slots, K - 1)
     ].set(jnp.where(cam_ok, jnp.arange(C, dtype=jnp.int32), -1), mode="drop")
 
-    # observation table: map pt_obs_kf to local cam idx; fetch uv/ur/sigma
-    o_kf = state.pt_obs_kf[jnp.clip(lidx, 0)]
-    o_ix = state.pt_obs_idx[jnp.clip(lidx, 0)]
+    # observation table: map pt_obs_kf to local cam idx; fetch uv/ur/sigma.
+    # O_BA front lanes only (rows fill front-to-back; see O_BA above)
+    o_kf = state.pt_obs_kf[:, :O_BA][jnp.clip(lidx, 0)]
+    o_ix = state.pt_obs_idx[:, :O_BA][jnp.clip(lidx, 0)]
     o_ok = l_ok[:, None] & (o_kf >= 0)
     o_cam = jnp.where(o_ok, slot2cam[jnp.clip(o_kf, 0)], -1)
     o_ok = o_ok & (o_cam >= 0)
@@ -177,18 +184,20 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
     )
     state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     # erase outlier observations (forward AND reverse pointers). The BA
-    # problem's O-lanes ARE pt_obs lanes, so the reverse erase is a direct
-    # (point, lane) scatter — lane holes are fine: add_observations fills
-    # the first free lane and every consumer masks on obs_kf >= 0.
-    out = prob.obs_valid & ~res.obs_inlier  # (L,O)
-    o_kf = state.pt_obs_kf[safe_l]
-    o_ix = state.pt_obs_idx[safe_l]
+    # problem's O-lanes ARE the FIRST O_BA pt_obs lanes, so the reverse
+    # erase is a direct (point, lane) scatter — lane holes are fine:
+    # add_observations fills the first free lane and every consumer masks
+    # on obs_kf >= 0.
+    out = prob.obs_valid & ~res.obs_inlier  # (L,O_BA)
+    O = out.shape[1]
+    o_kf = state.pt_obs_kf[:, :O][safe_l]
+    o_ix = state.pt_obs_idx[:, :O][safe_l]
     out = out & (o_kf >= 0) & l_ok[:, None]
     fwd = state.kf_kp_point.at[
         jnp.where(out, o_kf, K - 1), jnp.clip(o_ix, 0)
     ].set(jnp.where(out, -1, state.kf_kp_point[jnp.where(out, o_kf, K - 1),
                                                jnp.clip(o_ix, 0)]), mode="drop")
-    lanes = jnp.broadcast_to(jnp.arange(out.shape[1]), out.shape)
+    lanes = jnp.broadcast_to(jnp.arange(O), out.shape)
     pt_obs_kf = state.pt_obs_kf.at[safe_l[:, None], lanes].set(
         jnp.where(out, -1, o_kf), mode="drop")
     pt_obs_idx = state.pt_obs_idx.at[safe_l[:, None], lanes].set(
@@ -221,6 +230,8 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
     """
     from ..ops import hamming, matching
 
+    scale_factors = jnp.asarray(scale_factors)
+    inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
     L = cand_idx.shape[0]
     P = state.pt_capacity
     safe = jnp.clip(cand_idx, 0)
@@ -407,8 +418,12 @@ class LocalMapper:
                  n_tri_neighbors: int | None = None,
                  scale_factors=None, n_levels: int = 4,
                  scale_factor: float = 1.5):
+        import numpy as _np
+
         self.cam = cam
-        self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
+        # numpy, not jnp: these become jit-closure constants (device-array
+        # capture poisons axon dispatch — see projection.Camera docstring)
+        self.inv_level_sigma2 = _np.asarray(inv_level_sigma2, _np.float32)
         self.is_mono = is_mono
         self.enable_culling = enable_culling
         self.enable_triangulation = enable_triangulation
@@ -419,15 +434,16 @@ class LocalMapper:
         )
         self.recent_start = None  # device scalar: first "recent" point slot
         self.triangulate_pair = None
+        if scale_factors is None:
+            scale_factors = _np.asarray(
+                [scale_factor**i for i in range(n_levels)], _np.float32
+            )
+        scale_factors = _np.asarray(scale_factors, _np.float32)
         if enable_triangulation:
             from . import triangulation as tri_mod
 
-            if scale_factors is None:
-                scale_factors = jnp.asarray(
-                    [scale_factor**i for i in range(n_levels)], jnp.float32
-                )
             self.triangulate_pair = tri_mod.make_triangulator(
-                cam, jnp.asarray(scale_factors), 1.0 / self.inv_level_sigma2,
+                cam, scale_factors, 1.0 / self.inv_level_sigma2,
                 n_levels, scale_factor, is_mono,
             )
 
@@ -435,9 +451,7 @@ class LocalMapper:
         n_tri = self.n_tri_neighbors
         is_mono_ = self.is_mono
         enable_culling_ = self.enable_culling
-        scale_factors_ = jnp.asarray(
-            scale_factors if scale_factors is not None
-            else [scale_factor**i for i in range(n_levels)], jnp.float32)
+        scale_factors_ = scale_factors
         bounds_ = projection.compute_image_bounds(cam)
         inv_ls2_ = self.inv_level_sigma2
 

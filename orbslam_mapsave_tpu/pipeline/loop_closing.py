@@ -92,13 +92,15 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.enable_gba = enable_gba
         self.gba_iters = gba_iters
-        self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
-        self.level_sigma2 = 1.0 / self.inv_level_sigma2
+        # numpy closure constants (device-array capture poisons axon
+        # dispatch — see geometry.projection.Camera docstring)
+        self.inv_level_sigma2 = np.asarray(inv_level_sigma2, np.float32)
+        self.level_sigma2 = (1.0 / self.inv_level_sigma2).astype(np.float32)
         self.n_levels = n_levels
         self.scale_factor = scale_factor
-        self.scale_factors = jnp.asarray(
+        self.scale_factors = np.asarray(
             scale_factors if scale_factors is not None
-            else [scale_factor**i for i in range(n_levels)], jnp.float32)
+            else [scale_factor**i for i in range(n_levels)], np.float32)
         self.bounds = projection.compute_image_bounds(cam)
         self.bow_store = None
         self.transform = None
@@ -114,6 +116,7 @@ class LoopCloser:
         self._essential_device = None  # jitted pose-graph program (lazy)
         self._sim3_device = None  # jitted ComputeSim3 program (lazy)
         self._bow_one = None  # jitted per-KF BoW program (lazy)
+        self._pending_detect = None  # (kf, device future) awaiting fetch
 
     # -- BoW bookkeeping ---------------------------------------------------
     def _ensure_store(self, state: ms.MapState):
@@ -122,14 +125,19 @@ class LoopCloser:
             self.bow_store = database.empty_sparse_store(
                 state.kf_capacity, m
             )
-            self._bow_one = None
+            # keep the jitted _bow_one across resets: rebuilding the
+            # wrapper forces a retrace (~1 s stall at the first post-reset
+            # keyframe) for the same (m,) shape
+            if getattr(self, "_bow_one_m", None) != m:
+                self._bow_one = None
+                self._bow_one_m = m
 
     def _build_bow_one(self, m: int):
-        transform = self.transform
+        raw = self.transform.raw
 
         @jax.jit
-        def bow_one(state: ms.MapState, kf):
-            out = transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+        def bow_one(tables, state: ms.MapState, kf):
+            out = raw(*tables, state.kf_desc[kf], state.kf_kp_valid[kf])
             return vocabulary.sparse_bow(out["word"], out["weight"], m)
 
         return bow_one
@@ -138,11 +146,13 @@ class LoopCloser:
         """Sparse BoW row (words, weights) for one keyframe
         (`KeyFrame::ComputeBoW`, `src/KeyFrame.cc:781-789`) — ONE jitted
         program (`sparse_bow` outside jit dispatched ~20 ops per keyframe,
-        ~40 ms of launch latency on a remote-attached chip)."""
+        ~40 ms of launch latency on a remote-attached chip). The vocabulary
+        tables ride as ARGUMENTS (see make_transform_packed)."""
         m = self.bow_store.word.shape[1]
         if getattr(self, "_bow_one", None) is None:
             self._bow_one = self._build_bow_one(m)
-        return self._bow_one(state, jnp.asarray(kf, jnp.int32))
+        return self._bow_one(self.transform.tables, state,
+                             jnp.asarray(kf, jnp.int32))
 
     def rebuild_store(self, state: ms.MapState) -> None:
         """Recompute BoW rows for EVERY valid keyframe of a loaded map.
@@ -157,14 +167,14 @@ class LoopCloser:
             return
         self.bow_store = None
         self._ensure_store(state)
-        transform = self.transform
+        raw = self.transform.raw
         m = self.bow_store.word.shape[1]
         pad = jnp.iinfo(jnp.int32).max
 
         @jax.jit
-        def rebuild(store, state):
+        def rebuild(tables, store, state):
             def body(store, kf):
-                out = transform(state.kf_desc[kf], state.kf_kp_valid[kf])
+                out = raw(*tables, state.kf_desc[kf], state.kf_kp_valid[kf])
                 w, v = vocabulary.sparse_bow(out["word"], out["weight"], m)
                 live = state.kf_valid[kf]
                 w = jnp.where(live, w, pad)
@@ -178,21 +188,43 @@ class LoopCloser:
                 body, store, jnp.arange(state.kf_capacity, dtype=jnp.int32))
             return store
 
-        self.bow_store = rebuild(self.bow_store, state)
+        self.bow_store = rebuild(self.transform.tables, self.bow_store, state)
 
     # -- main entry --------------------------------------------------------
     def process(self, state: ms.MapState, kf: int) -> ms.MapState:
+        """The LoopClosing::Run body for one keyframe. Detection runs
+        ASYNCHRONOUSLY: the retrieval program is enqueued now and its
+        (tiny) result fetched on the NEXT keyframe — by then the device
+        queue has drained, so the fetch no longer stalls the pipeline.
+        The one-keyframe lag mirrors the reference's detached LoopClosing
+        thread, which also trails the mapper by its queue depth
+        (`src/LoopClosing.cc:58-89`)."""
         if self.voc is None:
             return state
         self._ensure_store(state)
         bow = self.compute_bow(state, kf)
         self.bow_store = database.add_keyframe_bow_sparse(
             self.bow_store, kf, *bow)
+        state = self.poll_detect(state)
         # slot allocation is monotone, so the slot id bounds the KF count
         # without a device fetch (LoopClosing.cc:114-120 refractory gates)
         if kf - self.last_loop_kf < REFRACTORY_KFS or kf < 11:
             return state
-        cand = self._detect_loop(state, kf, bow)
+        fut = _detect_device(self.bow_store, state, bow[0], bow[1],
+                             jnp.asarray(kf))
+        self._pending_detect = (kf, fut)
+        return state
+
+    def poll_detect(self, state: ms.MapState) -> ms.MapState:
+        """Consume a pending detection: consistency chain + Sim3 +
+        correction for the keyframe whose retrieval was enqueued last."""
+        if self._pending_detect is None:
+            return state
+        kf, fut = self._pending_detect
+        self._pending_detect = None
+        if kf - self.last_loop_kf < REFRACTORY_KFS:
+            return state  # a loop closed in the meantime
+        cand = self._detect_host(kf, fut)
         if cand is None:
             return state
         result = self._compute_sim3(state, kf, cand)
@@ -206,10 +238,8 @@ class LoopCloser:
                                   matched_pt, loop_pts)
 
     # -- DetectLoop --------------------------------------------------------
-    def _detect_loop(self, state: ms.MapState, kf: int, bow) -> int | None:
-        q_word, q_weight = bow
-        top_ids, top_s, groups, has_covis = jax.device_get(_detect_device(
-            self.bow_store, state, q_word, q_weight, jnp.asarray(kf)))
+    def _detect_host(self, kf: int, fut) -> int | None:
+        top_ids, top_s, groups, has_covis = jax.device_get(fut)
         if not bool(has_covis):
             return None
         live = np.isfinite(top_s)
@@ -274,6 +304,7 @@ class LoopCloser:
 
         @jax.jit
         def run(state: ms.MapState, kf, cand, key):
+            level_sigma2 = jnp.asarray(self.level_sigma2)
             N = state.n_features
             P = state.pt_capacity
             b1 = hamming.unpack_bits(state.kf_desc[kf])
@@ -539,6 +570,9 @@ class LoopCloser:
         host-side bookkeeping."""
         import numpy as _np
 
+        # a pending detection's kf slot and store rows are stale after
+        # compaction: drop it (one missed retrieval, like a queue reset)
+        self._pending_detect = None
         if self.bow_store is not None:
             old_ids = _np.nonzero(new_of_old >= 0)[0]
             new_ids = new_of_old[old_ids]

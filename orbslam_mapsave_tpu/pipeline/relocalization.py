@@ -36,11 +36,13 @@ class Relocalizer:
                  voc: vocabulary.Vocabulary | None = None,
                  bow_store_ref=None, max_candidates: int = 5):
         self.cam = cam
-        self.inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
-        self.level_sigma2 = 1.0 / self.inv_level_sigma2
+        # numpy closure constants (device-array capture poisons axon
+        # dispatch — see geometry.projection.Camera docstring)
+        self.inv_level_sigma2 = np.asarray(inv_level_sigma2, np.float32)
+        self.level_sigma2 = (1.0 / self.inv_level_sigma2).astype(np.float32)
         # pyramid geometry recovered from the sigma table:
         # sigma2(level) = scale_factor^(2*level)
-        self.scale_factors = jnp.sqrt(self.level_sigma2).astype(jnp.float32)
+        self.scale_factors = np.sqrt(self.level_sigma2).astype(np.float32)
         self.n_levels = int(self.level_sigma2.shape[0])
         self.scale_factor_ = (
             float(self.scale_factors[1]) / max(float(self.scale_factors[0]),
@@ -54,8 +56,8 @@ class Relocalizer:
 
     def _build_batch(self):
         cam = self.cam
-        level_sigma2 = self.level_sigma2
-        inv_ls2 = self.inv_level_sigma2
+        level_sigma2_np = self.level_sigma2
+        inv_ls2_np = self.inv_level_sigma2
         bounds = projection.compute_image_bounds(cam)
 
         @jax.jit
@@ -69,6 +71,8 @@ class Relocalizer:
             re-optimize; then 30..50 -> narrow re-search th=3/ORBdist=64
             and re-optimize. The caller applies the hard >= 50 acceptance
             (`:1754`)."""
+            level_sigma2 = jnp.asarray(level_sigma2_np)
+            inv_ls2 = jnp.asarray(inv_ls2_np)
             sigma2 = level_sigma2[
                 jnp.clip(frame.kp_octave, 0, level_sigma2.shape[0] - 1)]
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import enum
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -277,14 +278,18 @@ class SLAMSystem:
             self.loop_closer.bow_store = None
             self.loop_closer.consistent_groups.clear()
             self.loop_closer.events.clear()
+            self.loop_closer._pending_detect = None
             from . import loop_closing as lc_mod
 
             self.loop_closer.last_loop_kf = -lc_mod.REFRACTORY_KFS - 1
 
     def flush_gba(self):
-        """Drain a pending global-BA job into the map (the reference blocks
-        on `isFinishedGBA` at shutdown, `src/System.cc:535-550`)."""
+        """Drain pending loop-closing work into the map: an un-polled
+        detection, then a pending global-BA job (the reference blocks on
+        `isFinishedGBA` at shutdown, `src/System.cc:535-550`)."""
         if self.loop_closer is not None:
+            if not self.localization_only:
+                self.map = self.loop_closer.poll_detect(self.map)
             self.map = self.loop_closer.poll_gba(self.map)
             self.tracker.map = self.map
 
@@ -344,6 +349,69 @@ class SLAMSystem:
         traj_io.save_matrix_trajectory(
             path, [p for _, p, l in tr if not l]
         )
+
+    def save_stereo_keyframe_trajectory(self, path: str | Path):
+        """`System::SaveStereoKeyFrameTrajectory` (`src/System.cc:789-836`):
+        per-FRAME 3x4 [Rwc|twc] rows (despite the name, the reference walks
+        the frame relative-pose lists), normalized so the first keyframe
+        sits at the origin (`Two`, `:797`)."""
+        self.flush_gba()
+        tr = self.tracker.trajectory
+        valid = np.asarray(self.map.kf_valid)
+        if valid.any():
+            first = int(np.nonzero(valid)[0][0])
+            Two = np.linalg.inv(np.asarray(self.map.kf_pose[first]))
+        else:
+            Two = np.eye(4)
+        traj_io.save_matrix_trajectory(
+            path, [p @ Two for _, p, _ in tr])
+
+    def change_calibration(self, settings_path: str | Path):
+        """`Tracking::ChangeCalibration` (`src/Tracking.cc:1821-1852`):
+        re-read camera intrinsics/distortion/baseline from a settings yaml
+        and rebuild the camera-dependent pipeline stages. The reference
+        flips `Frame::mbInitialComputations` so grids/bounds recompute; the
+        analog here is rebuilding the jitted closures that captured the
+        old Camera."""
+        cfg = config_mod.load_camera_settings(settings_path, self.cfg)
+        self.cfg = cfg
+        c = cfg.camera
+        self.cam = projection.Camera.create(
+            c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2, c.k3,
+            bf=c.bf, width=c.width, height=c.height,
+        )
+        self.builder = frame_mod.FrameBuilder(self.cam, self.spec)
+        self.tracker.flush()
+        tcfg = self.tracker.cfg
+        tcfg.th_depth = float(c.bf) / float(c.fx) * float(c.th_depth)
+        self.tracker.cam = self.cam
+        self.tracker.builder = self.builder
+        from . import fused_step
+
+        if self.mapper is not None:
+            self.mapper = local_mapping.LocalMapper(
+                self.cam, self.builder.inv_level_sigma2,
+                is_mono=(self.sensor == Sensor.MONOCULAR),
+                scale_factors=self.builder.scale_factors,
+                n_levels=cfg.orb.n_levels,
+                scale_factor=cfg.orb.scale_factor,
+            )
+        trk = self.tracker
+        trk.k = tracking.make_tracking_kernels(
+            self.cam, self.builder, cfg.orb.n_levels, cfg.orb.scale_factor)
+        trk.step = fused_step.make_fused_step(
+            self.cam, self.builder, cfg.orb.n_levels, cfg.orb.scale_factor,
+            tcfg, self.mapper)
+        # the composed build+step programs captured the OLD step/builder at
+        # first trace; rebuild them against the new calibration
+        builder = self.builder
+        step = trk.step
+        trk._composed_rgbd = jax.jit(
+            lambda state, ctrl, image, ts, depth: step(
+                state, ctrl, builder._build_rgbd(image, ts, depth, None)))
+        trk._composed_mono = jax.jit(
+            lambda state, ctrl, image, ts: step(
+                state, ctrl, builder._build_mono(image, ts, None)))
 
     # ------ introspection (System.h:144-160 analogues) ------
     @property

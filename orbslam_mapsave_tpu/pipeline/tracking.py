@@ -124,10 +124,14 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
     def track_ref_kf(state: ms.MapState, frame: frame_mod.FrameData, ref_kf):
         """`Tracking::TrackReferenceKeyFrame` (`src/Tracking.cc:1004-1046`).
 
-        The reference matches via BoW node alignment (SearchByBoW, ratio
-        0.7); until the vocabulary stage is wired into tracking we use full
-        descriptor matching with the same ratio + rotation check (a strict
-        superset of candidates)."""
+        DESIGN: the reference gates candidate pairs by BoW node alignment
+        (SearchByBoW, `src/ORBmatcher.cc:177-183`) because a CPU cannot
+        afford the full N^2 Hamming matrix; on the MXU the full matrix IS
+        the cheap path (one bit-plane matmul), so this uses exhaustive
+        descriptor matching with the same ratio (0.7) + rotation gates —
+        a strict SUPERSET of the reference's candidate set (node-gating
+        only ever removes true matches). `search_by_descriptor` still
+        accepts node ids for callers that want exact BoW-gated parity."""
         kf_bits = hamming.unpack_bits(state.kf_desc[ref_kf])
         kf_pts = state.kf_kp_point[ref_kf]
         kf_ok = state.kf_kp_valid[ref_kf] & (kf_pts >= 0)
@@ -150,7 +154,8 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
             pt_w=state.pt_pos[jnp.clip(matched_pt, 0)],
             uv=frame.kp_xy,
             ur=frame.kp_ur,
-            inv_sigma2=builder.inv_level_sigma2[jnp.clip(frame.kp_octave, 0)],
+            inv_sigma2=jnp.asarray(builder.inv_level_sigma2)[
+                jnp.clip(frame.kp_octave, 0)],
             valid=ok,
         )
         pose, inlier, n_inl = pose_opt.pose_optimization(cam, pose0, obs)
@@ -170,7 +175,8 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
             pt_w=pt_w,
             uv=frame.kp_xy,
             ur=frame.kp_ur,
-            inv_sigma2=builder.inv_level_sigma2[jnp.clip(frame.kp_octave, 0)],
+            inv_sigma2=jnp.asarray(builder.inv_level_sigma2)[
+                jnp.clip(frame.kp_octave, 0)],
             valid=have,
         )
         pose, inlier, n_inl = pose_opt.pose_optimization(cam, pose0, obs)
@@ -417,7 +423,7 @@ class Tracker:
     def __init__(self, cam: projection.Camera, builder: frame_mod.FrameBuilder,
                  state: ms.MapState, cfg: TrackerConfig,
                  n_levels: int = 4, scale_factor: float = 1.5,
-                 mapper=None, fetch_every: int = 10):
+                 mapper=None, fetch_every: int = 16):
         from . import fused_step
 
         self.cam = cam
@@ -427,6 +433,15 @@ class Tracker:
         self.k = make_tracking_kernels(cam, builder, n_levels, scale_factor)
         self.step = fused_step.make_fused_step(
             cam, builder, n_levels, scale_factor, cfg, mapper)
+        # frame build + fused step COMPOSED into one program: each program
+        # execution pays a ~1.5-2.5 ms runtime floor on the remote-attached
+        # chip, so one program per frame instead of two
+        self._composed_rgbd = jax.jit(
+            lambda state, ctrl, image, ts, depth: self.step(
+                state, ctrl, builder._build_rgbd(image, ts, depth, None)))
+        self._composed_mono = jax.jit(
+            lambda state, ctrl, image, ts: self.step(
+                state, ctrl, builder._build_mono(image, ts, None)))
         self.fetch_every = fetch_every
         self.ctrl: fused_step.ControlState | None = None
         self.state = NO_IMAGES_YET  # host view (may lag the device by a batch)
@@ -495,6 +510,11 @@ class Tracker:
 
     def _enqueue(self, fr: frame_mod.FrameData, t: float):
         self.map, self.ctrl, out = self.step(self.map, self.ctrl, fr)
+        return self._post_enqueue(out, t, fr)
+
+    def _post_enqueue(self, out, t: float, fr=None):
+        if fr is None:
+            fr = self.ctrl.last_frame  # the composed step stores it
         self._pending.append((t, out))
         self.last_frame = fr
         self.frame_id += 1
@@ -546,9 +566,14 @@ class Tracker:
 
     # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
     def track_rgbd(self, image, depth, timestamp: float):
-        fr = self.builder.build(image, timestamp, depth)
-        self._ensure_ctrl(fr)
-        return self._enqueue(fr, float(timestamp))
+        image = jnp.asarray(image)
+        depth = jnp.asarray(depth)
+        if self.ctrl is None:
+            fr0 = self.builder.build(image, timestamp, depth)
+            self._ensure_ctrl(fr0)
+        self.map, self.ctrl, out = self._composed_rgbd(
+            self.map, self.ctrl, image, timestamp, depth)
+        return self._post_enqueue(out, float(timestamp))
 
     # -- stereo entry (GrabImageStereo, Tracking.cc:246-298) ---------------
     def track_stereo(self, image_left, image_right, timestamp: float):
@@ -558,13 +583,17 @@ class Tracker:
 
     # -- monocular entry (GrabImageMonocular, Tracking.cc:405-441) ---------
     def track_monocular(self, image, timestamp: float):
-        fr = self.builder.build(image, timestamp)
-        self._ensure_ctrl(fr)
-        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            pose = self._mono_initialize(fr)
-            self.frame_id += 1
-            return pose
-        return self._enqueue(fr, float(timestamp))
+        image = jnp.asarray(image)
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED) or self.ctrl is None:
+            fr = self.builder.build(image, timestamp)
+            self._ensure_ctrl(fr)
+            if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+                pose = self._mono_initialize(fr)
+                self.frame_id += 1
+                return pose
+        self.map, self.ctrl, out = self._composed_mono(
+            self.map, self.ctrl, image, timestamp)
+        return self._post_enqueue(out, float(timestamp))
 
     def _mono_initialize(self, fr: frame_mod.FrameData) -> np.ndarray | None:
         """`Tracking::MonocularInitialization` (`src/Tracking.cc:804-880`) +

@@ -34,9 +34,16 @@ def compute_f12(cam: projection.Camera, T1w: jax.Array, T2w: jax.Array):
     return Kinv.T @ t12x @ R12 @ Kinv
 
 
-def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
-                      level_sigma2: jax.Array, n_levels: int,
+def make_triangulator(cam: projection.Camera, scale_factors,
+                      level_sigma2, n_levels: int,
                       scale_factor: float, is_mono: bool):
+    import numpy as np
+
+    # numpy closure constants (device-array capture poisons axon dispatch;
+    # see geometry.projection.Camera docstring) — converted to trace-time
+    # literals inside the traced functions
+    scale_factors = np.asarray(scale_factors, np.float32)
+    level_sigma2 = np.asarray(level_sigma2, np.float32)
     ratio_factor = 1.5 * scale_factor  # LocalMapping.cc:298
 
     def candidates(state: ms.MapState, kf1, kf2, enabled=True):
@@ -136,8 +143,9 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
         # reprojection chi2 (:354-407); mono gate 5.991
         uv1_hat, _ = projection.project(cam, pc1)
         uv2_hat, _ = projection.project(cam, pc2)
-        s1 = level_sigma2[jnp.clip(state.kf_kp_octave[kf1], 0, n_levels - 1)]
-        s2 = level_sigma2[jnp.clip(state.kf_kp_octave[kf2][m2], 0, n_levels - 1)]
+        ls2 = jnp.asarray(level_sigma2)
+        s1 = ls2[jnp.clip(state.kf_kp_octave[kf1], 0, n_levels - 1)]
+        s2 = ls2[jnp.clip(state.kf_kp_octave[kf2][m2], 0, n_levels - 1)]
         e1 = jnp.sum((uv1_hat - xy1) ** 2, -1)
         e2 = jnp.sum((uv2_hat - xy2) ** 2, -1)
         ok = ok & (e1 <= 5.991 * s1) & (e2 <= 5.991 * s2)
@@ -146,8 +154,9 @@ def make_triangulator(cam: projection.Camera, scale_factors: jax.Array,
         dist1 = jnp.linalg.norm(X - O1[None], axis=-1)
         dist2 = jnp.linalg.norm(X - O2[None], axis=-1)
         ratio_dist = dist2 / jnp.maximum(dist1, 1e-9)
-        sf1 = scale_factors[jnp.clip(state.kf_kp_octave[kf1], 0, n_levels - 1)]
-        sf2 = scale_factors[jnp.clip(state.kf_kp_octave[kf2][m2], 0, n_levels - 1)]
+        sfj = jnp.asarray(scale_factors)
+        sf1 = sfj[jnp.clip(state.kf_kp_octave[kf1], 0, n_levels - 1)]
+        sf2 = sfj[jnp.clip(state.kf_kp_octave[kf2][m2], 0, n_levels - 1)]
         ratio_oct = sf1 / sf2
         ok = ok & (ratio_dist < ratio_oct * ratio_factor) & (
             ratio_dist * ratio_factor > ratio_oct

@@ -595,6 +595,7 @@ def _normal_and_depth_rows(pt_pos, pt_ref_kf, obs_kf, obs_idx,
                            scale_factors, n_levels: int):
     """Normal + distance band for B points given their (B,O) observation
     rows. Returns (normal (B,3), min_d (B,), max_d (B,), has_obs (B,))."""
+    scale_factors = jnp.asarray(scale_factors)
     B, O = obs_kf.shape
     ok = obs_kf >= 0
     safe_kf = jnp.clip(obs_kf, 0)

@@ -109,18 +109,21 @@ def load_binary(path: str | Path) -> Vocabulary:
 
 def save_binary(path: str | Path, voc: Vocabulary) -> None:
     """Write the fork's binary layout (saveToBinaryFile,
-    TemplatedVocabulary.h:1514-1535)."""
+    TemplatedVocabulary.h:1514-1535). Vectorized record assembly — the
+    per-node struct.pack loop took minutes at ORBvoc scale (~1M nodes)."""
     Nn = voc.n_nodes
     size_node = 4 + DESC_BYTES + 4 + 1
-    out = bytearray()
-    out += struct.pack("<IIiiii", Nn, size_node, voc.k, voc.L, voc.scoring,
-                       voc.weighting)
-    for nid in range(1, Nn):
-        out += struct.pack("<i", int(voc.parent[nid]))
-        out += voc.desc[nid].tobytes()
-        out += struct.pack("<f", float(voc.weight[nid]))
-        out += struct.pack("<B", 1 if voc.word_id[nid] >= 0 else 0)
-    Path(path).write_bytes(bytes(out))
+    header = struct.pack("<IIiiii", Nn, size_node, voc.k, voc.L, voc.scoring,
+                         voc.weighting)
+    rec = np.zeros((Nn - 1, size_node), np.uint8)
+    rec[:, 0:4] = voc.parent[1:].astype("<i4").view(np.uint8).reshape(-1, 4)
+    rec[:, 4 : 4 + DESC_BYTES] = voc.desc[1:]
+    rec[:, 4 + DESC_BYTES : 8 + DESC_BYTES] = (
+        voc.weight[1:].astype("<f4").view(np.uint8).reshape(-1, 4))
+    rec[:, 8 + DESC_BYTES] = (voc.word_id[1:] >= 0).astype(np.uint8)
+    with open(Path(path), "wb") as f:
+        f.write(header)
+        f.write(rec.tobytes())
 
 
 def load_text(path: str | Path) -> Vocabulary:
@@ -167,14 +170,17 @@ def load(path: str | Path) -> Vocabulary:
 
 
 def _children_table(parent: np.ndarray, k: int) -> np.ndarray:
+    """parent[] -> (Nn, k) child table, -1 pad. Vectorized: a stable sort
+    by parent id groups siblings, lane = rank within the group — the
+    per-node python loop took minutes at the real ORBvoc's ~1M nodes."""
     Nn = parent.shape[0]
-    children = np.full((Nn, max(k, 1)), -1, np.int32)
-    counts = np.zeros(Nn, np.int32)
-    for nid in range(1, Nn):
-        p = parent[nid]
-        if 0 <= p < Nn and counts[p] < children.shape[1]:
-            children[p, counts[p]] = nid
-            counts[p] += 1
+    kk = max(k, 1)
+    children = np.full((Nn, kk), -1, np.int32)
+    order = np.argsort(parent, kind="stable")
+    ps = parent[order]
+    lane = np.arange(Nn) - np.searchsorted(ps, ps, side="left")
+    ok = (ps >= 0) & (ps < Nn) & (lane < kk)
+    children[ps[ok], lane[ok]] = order[ok].astype(np.int32)
     return children
 
 
@@ -262,6 +268,30 @@ def train(descriptors: np.ndarray, k: int = 10, L: int = 3,
                       weight, word_id, len(leaf_nodes))
 
 
+def synthetic_full(k: int = 10, L: int = 6, seed: int = 0) -> Vocabulary:
+    """A complete k^L tree with random descriptors — an ORBvoc-SCALE fixture
+    (k=10, L=6 -> 1,111,111 nodes / 1M words, the geometry stored in the
+    real `ORBvoc.bin` header, `TemplatedVocabulary.h:1471-1476`). The blob
+    itself is absent from this environment (`.MISSING_LARGE_BLOBS`); this
+    exercises identical shapes/memory/latency without the data."""
+    counts = [k**i for i in range(L + 1)]
+    Nn = sum(counts)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    parent = np.full(Nn, -1, np.int32)
+    for lvl in range(1, L + 1):
+        ids = np.arange(counts[lvl])
+        parent[off[lvl] + ids] = (off[lvl - 1] + ids // k).astype(np.int32)
+    rng = np.random.default_rng(seed)
+    desc = rng.integers(0, 256, (Nn, DESC_BYTES), dtype=np.uint8)
+    desc[0] = 0
+    weight = rng.uniform(0.1, 1.0, Nn).astype(np.float32)
+    word_id = np.full(Nn, -1, np.int32)
+    leaves = np.arange(off[L], Nn)
+    word_id[leaves] = np.arange(len(leaves), dtype=np.int32)
+    return Vocabulary(k, L, 0, 0, parent, _children_table(parent, k), desc,
+                      weight, word_id, len(leaves))
+
+
 # ---------------------------------------------------------------------------
 # Batched transform + scoring (device path)
 # ---------------------------------------------------------------------------
@@ -273,16 +303,17 @@ def make_transform(voc: Vocabulary, levelsup: int = 4):
     depth L-levelsup (the FeatureVector key, `KeyFrame::ComputeBoW` uses
     levelsup=4, `src/KeyFrame.cc:786-788`)."""
     t = voc.device_tables()
-    children = t["children"]  # (Nn,k)
-    child_bits = t["child_bits"]  # (Nn,256)
-    weight = t["weight"]
-    word_id = t["word_id"]
+    children_dev = t["children"]  # (Nn,k)
+    child_bits_dev = t["child_bits"]  # (Nn,256)
+    weight_dev = t["weight"]
+    word_id_dev = t["word_id"]
     L = voc.L
     k = voc.k
     node_depth_for_fv = max(L - levelsup, 0)
 
     @jax.jit
-    def transform(desc_bits: jax.Array, valid: jax.Array):
+    def _transform_bits(children, child_bits, weight, word_id,
+                        desc_bits: jax.Array, valid: jax.Array):
         N = desc_bits.shape[0]
         cur = jnp.zeros(N, jnp.int32)  # start at root
         fv_node = jnp.zeros(N, jnp.int32)
@@ -311,6 +342,13 @@ def make_transform(voc: Vocabulary, levelsup: int = 4):
             node=jnp.where(ok, fv_node, -1),
         )
 
+    def transform(desc_bits: jax.Array, valid: jax.Array):
+        return _transform_bits(children_dev, child_bits_dev, weight_dev,
+                               word_id_dev, desc_bits, valid)
+
+    transform.tables = (children_dev, child_bits_dev, weight_dev,
+                        word_id_dev)
+    transform.raw = _transform_bits
     del k
     return transform
 
@@ -322,17 +360,21 @@ def make_transform_packed(voc: Vocabulary, levelsup: int = 4):
     `Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1467-1535`).
 
     Input is the packed (N,32) u8 descriptor block (no unpack needed)."""
-    children = jnp.asarray(voc.children)  # (Nn,k)
+    # Device-RESIDENT tables passed as ARGUMENTS on every call: at ORBvoc
+    # scale they are ~50 MB (too big for HLO literals), and closed-over
+    # device arrays poison axon dispatch (projection.Camera docstring).
+    children_dev = jnp.asarray(voc.children)  # (Nn,k)
     # u32 lanes: 4x fewer popcount/xor ops than u8 (same 32 bytes/node)
-    child_desc = jnp.asarray(
+    child_desc_dev = jnp.asarray(
         np.ascontiguousarray(voc.desc).view(np.uint32))  # (Nn,8) u32
-    weight = jnp.asarray(voc.weight)
-    word_id = jnp.asarray(voc.word_id)
+    weight_dev = jnp.asarray(voc.weight)
+    word_id_dev = jnp.asarray(voc.word_id)
     L = voc.L
     node_depth_for_fv = max(L - levelsup, 0)
 
     @jax.jit
-    def transform(desc_u8: jax.Array, valid: jax.Array):
+    def _transform(children, child_desc, weight, word_id,
+                   desc_u8: jax.Array, valid: jax.Array):
         N = desc_u8.shape[0]
         desc_u32 = jax.lax.bitcast_convert_type(
             desc_u8.reshape(desc_u8.shape[0], 8, 4), jnp.uint32)  # (N,8)
@@ -360,6 +402,18 @@ def make_transform_packed(voc: Vocabulary, levelsup: int = 4):
             node=jnp.where(ok, fv_node, -1),
         )
 
+    def transform(desc_u8: jax.Array, valid: jax.Array):
+        return _transform(children_dev, child_desc_dev, weight_dev,
+                          word_id_dev, desc_u8, valid)
+
+    # callers that wrap the transform inside their OWN jitted program must
+    # thread the tables as arguments of that program (an inner-jit call
+    # during an outer trace turns concrete arrays into captured constants —
+    # the same poison as closure capture): use transform.raw(*transform.
+    # tables_from_args, ...) with tables passed into the outer jit.
+    transform.tables = (children_dev, child_desc_dev, weight_dev,
+                        word_id_dev)
+    transform.raw = _transform
     return transform
 
 

@@ -393,3 +393,84 @@ def test_boost_golden_fixture(tmp_path):
     p2 = tmp_path / "golden2.bin"
     boost_parity.save_boost_map(p2, st2, cam, scale_factor=1.5, n_levels=4)
     assert p2.read_bytes() == exp
+
+
+def _random_map(rng, n_kf=4, n_pt=60, n_feat=48):
+    """A randomized populated MapState for fuzzing the boost round-trip."""
+    from orbslam_mapsave_tpu.geometry import se3 as se3_mod
+
+    state = ms.empty_map(16, 256, n_feat)
+    h = {k: np.asarray(v).copy() for k, v in state._asdict().items()}
+    for k in range(n_kf):
+        h["kf_valid"][k] = True
+        h["kf_timestamp"][k] = 1000.0 + 0.2 * k
+        h["kf_frame_id"][k] = 3 * k
+        xi = rng.normal(size=6).astype(np.float32) * 0.1
+        h["kf_pose"][k] = np.asarray(se3_mod.se3_exp(jnp.asarray(xi)))
+        nf = int(rng.integers(n_feat // 2, n_feat))
+        h["kf_kp_xy"][k, :nf] = rng.uniform(0, 600, (nf, 2))
+        h["kf_kp_octave"][k, :nf] = rng.integers(0, 4, nf)
+        h["kf_kp_angle"][k, :nf] = rng.uniform(0, 360, nf)
+        h["kf_kp_ur"][k, :nf] = rng.uniform(-1, 500, nf)
+        h["kf_kp_depth"][k, :nf] = rng.uniform(0.5, 5, nf)
+        h["kf_kp_valid"][k, :nf] = True
+        h["kf_desc"][k, :nf] = rng.integers(0, 256, (nf, 32), dtype=np.uint8)
+        h["kf_parent"][k] = k - 1 if k else -1
+    for p in range(n_pt):
+        h["pt_valid"][p] = True
+        h["pt_pos"][p] = rng.uniform(-2, 2, 3)
+        h["pt_desc"][p] = rng.integers(0, 256, 32, dtype=np.uint8)
+        h["pt_normal"][p] = (0, 0, 1)
+        h["pt_min_dist"][p] = 0.5
+        h["pt_max_dist"][p] = 4.0
+        h["pt_ref_kf"][p] = int(rng.integers(0, n_kf))
+        h["pt_first_kf"][p] = h["pt_ref_kf"][p]
+        for lane, k in enumerate(
+                rng.choice(n_kf, size=int(rng.integers(1, 4)),
+                           replace=False)):
+            i = int(rng.integers(0, n_feat // 2))
+            if h["kf_kp_point"][k, i] >= 0:
+                continue
+            h["kf_kp_point"][k, i] = p
+            h["pt_obs_kf"][p, lane] = k
+            h["pt_obs_idx"][p, lane] = i
+            h["pt_obs_oct"][p, lane] = h["kf_kp_octave"][k, i]
+    state = state._replace(
+        n_kf=jnp.asarray(n_kf, jnp.int32), n_pt=jnp.asarray(n_pt, jnp.int32),
+        **{k: jnp.asarray(v) for k, v in h.items() if k not in ("n_kf", "n_pt")})
+    return state
+
+
+def test_boost_fuzz_roundtrip(tmp_path):
+    """Fuzz the boost writer/reader over randomized maps (VERDICT r2 weak
+    #2): decode(encode(state)) must preserve structure, and
+    encode(decode(encode(state))) must be byte-identical (the rule set is
+    self-consistent and total over randomized content)."""
+    from orbslam_mapsave_tpu.io import boost_parity
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        state = _random_map(rng, n_kf=int(rng.integers(2, 6)),
+                            n_pt=int(rng.integers(10, 80)))
+        f1 = tmp_path / f"fuzz{trial}.bin"
+        boost_parity.save_boost_map(f1, state)
+        back = boost_parity.load_boost_map(
+            f1, max_keyframes=16, max_points=256, n_features=48)
+        assert int(jnp.sum(back.kf_valid)) == int(jnp.sum(state.kf_valid))
+        assert int(jnp.sum(back.pt_valid)) == int(jnp.sum(state.pt_valid))
+        kv = np.asarray(state.kf_valid)
+        np.testing.assert_allclose(
+            np.asarray(back.kf_pose)[kv], np.asarray(state.kf_pose)[kv],
+            atol=1e-5)
+        pv = np.asarray(state.pt_valid)
+        np.testing.assert_allclose(
+            np.asarray(back.pt_pos)[np.asarray(back.pt_valid)],
+            np.asarray(state.pt_pos)[pv], atol=1e-5)
+        # observation structure survives (forward map, valid KFs)
+        np.testing.assert_array_equal(
+            np.asarray(back.kf_kp_point)[kv, :48],
+            np.asarray(state.kf_kp_point)[kv, :48])
+        f2 = tmp_path / f"fuzz{trial}_re.bin"
+        boost_parity.save_boost_map(f2, back)
+        assert f1.read_bytes() == f2.read_bytes(), \
+            f"trial {trial}: re-encode not byte-stable"
