@@ -163,7 +163,8 @@ def main():
     valid = np.asarray(slam.map.kf_valid)
     kf_ate = float("nan")
     if valid.any():
-        ts = np.asarray(slam.map.kf_timestamp)[valid]
+        ts = np.asarray(slam.map.kf_timestamp, np.float64)[valid] + (
+            slam.tracker.ts_epoch or 0.0)
         est = np.linalg.inv(np.asarray(slam.map.kf_pose)[valid])
         gt_ts = 1000.0 + np.arange(N_FRAMES) / 30.0
         kf_ate = traj_io.ate_rmse(gt_ts, data["poses"], ts, est)

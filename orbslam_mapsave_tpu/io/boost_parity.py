@@ -300,9 +300,12 @@ def _compute_grid(xy: np.ndarray, valid_rows: np.ndarray, width: float,
 
 
 def save_boost_map(path: str | Path, state: MapState, cam_params=None,
-                   scale_factor: float = 1.5, n_levels: int = 4) -> None:
+                   scale_factor: float = 1.5, n_levels: int = 4,
+                   ts_epoch: float = 0.0) -> None:
     """Write a MapState in the reference's archive layout
-    (`Map::save`, `src/Map.cc:31-74`)."""
+    (`Map::save`, `src/Map.cc:31-74`). `ts_epoch` is added to each f32
+    offset stamp so the archive carries ABSOLUTE f64 timestamps, matching
+    the reference's double mTimeStamp (`src/KeyFrame.cc:100`)."""
     w = _Writer()
     kf_valid = np.asarray(state.kf_valid)
     pt_valid = np.asarray(state.pt_valid)
@@ -325,12 +328,12 @@ def save_boost_map(path: str | Path, state: MapState, cam_params=None,
     w.i32(len(kf_ids))
     for k in kf_ids:
         w.class_preamble("KeyFrame")
-        _write_keyframe(w, state, int(k), cam, scale_factor, n_levels)
+        _write_keyframe(w, state, int(k), cam, scale_factor, n_levels, ts_epoch)
     # origins: the first keyframe (Map.cc mvpKeyFrameOrigins)
     n_orig = 1 if len(kf_ids) else 0
     w.i32(n_orig)
     if n_orig:
-        _write_keyframe(w, state, int(kf_ids[0]), cam, scale_factor, n_levels)
+        _write_keyframe(w, state, int(kf_ids[0]), cam, scale_factor, n_levels, ts_epoch)
     w.u64(int(np.max(kf_ids)) if len(kf_ids) else 0)  # mnMaxKFid
     w.u32(TEST_DATA)
     write_points()  # dead tail, never read back (Map.cc:68-73)
@@ -381,7 +384,8 @@ def _write_mappoint(w: _Writer, state: MapState, p: int):
 
 
 def _write_keyframe(w: _Writer, state: MapState, k: int, cam: dict,
-                    scale_factor: float, n_levels: int):
+                    scale_factor: float, n_levels: int,
+                    ts_epoch: float = 0.0):
     """`KeyFrame::save` field order (`src/KeyFrame.cc:86-307`)."""
     N = state.n_features
     valid = np.asarray(state.kf_kp_valid[k])
@@ -391,7 +395,7 @@ def _write_keyframe(w: _Writer, state: MapState, k: int, cam: dict,
     w.u64(int(state.n_kf))  # nNextId (static, long unsigned)
     w.u64(k)  # mnId
     w.u64(int(state.kf_frame_id[k]))  # mnFrameId
-    w.f64(float(state.kf_timestamp[k]))
+    w.f64(float(state.kf_timestamp[k]) + ts_epoch)
     w.i32(GRID_COLS)  # mnGridCols (Frame.h:37)
     w.i32(GRID_ROWS)  # mnGridRows
     w.f32(GRID_COLS / width)  # mfGridElementWidthInv
@@ -511,8 +515,8 @@ def _write_keyframe(w: _Writer, state: MapState, k: int, cam: dict,
 
 
 def load_boost_map(path: str | Path, max_keyframes: int = 512,
-                   max_points: int = 65536, n_features: int = 2048
-                   ) -> MapState:
+                   max_points: int = 65536, n_features: int = 2048,
+                   ts_epoch: float = 0.0) -> MapState:
     """Read the archive back into a MapState (`Map::load`,
     `src/Map.cc:76-133` + the System rebinding passes `System.cc:148-195`,
     which collapse to array writes here)."""
@@ -545,7 +549,7 @@ def load_boost_map(path: str | Path, max_keyframes: int = 512,
         k = kf["id"]
         n = min(len(kf["kps"]), n_features)
         state_np["kf_valid"][k] = True
-        state_np["kf_timestamp"][k] = kf["timestamp"]
+        state_np["kf_timestamp"][k] = kf["timestamp"] - ts_epoch
         state_np["kf_frame_id"][k] = kf["frame_id"]
         state_np["kf_pose"][k] = kf["Tcw"]
         for i in range(n):

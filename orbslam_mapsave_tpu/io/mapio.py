@@ -33,8 +33,13 @@ FORMAT_VERSION = "orbtpu-map-v1"
 SENTINEL = 0xDEADBEEF
 
 
-def save_map(path: str | Path, state: MapState) -> None:
-    """Write the full map state (`System::SaveMap` analogue)."""
+def save_map(path: str | Path, state: MapState,
+             ts_epoch: float = 0.0) -> None:
+    """Write the full map state (`System::SaveMap` analogue).
+
+    `ts_epoch`: the run's f64 timestamp epoch — device-side `kf_timestamp`
+    holds f32 OFFSETS from it (pipeline/tracking.py `Tracker.ts_epoch`);
+    persisting it keeps absolute stamps exact across save/load."""
     arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
     meta = {
         "version": FORMAT_VERSION,
@@ -44,6 +49,7 @@ def save_map(path: str | Path, state: MapState) -> None:
         "n_features": int(state.n_features),
         "n_kf": int(state.n_kf),
         "n_pt": int(state.n_pt),
+        "ts_epoch": float(ts_epoch),
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -83,6 +89,13 @@ def load_map(path: str | Path) -> MapState:
         fields["n_obs_dropped"] = np.int32(0)  # pre-telemetry checkpoints
     state = MapState(**fields)
     return jax.tree.map(jnp.asarray, state)
+
+
+def read_ts_epoch(path: str | Path) -> float:
+    """The f64 timestamp epoch a map was saved with (0.0 for old files)."""
+    with zipfile.ZipFile(Path(path), "r") as zf:
+        meta = json.loads(zf.read("__meta__.json"))
+    return float(meta.get("ts_epoch", 0.0))
 
 
 def map_summary(state: MapState) -> dict:

@@ -123,6 +123,9 @@ class SLAMSystem:
         self.localization_only = False  # ActivateLocalizationMode analogue
         self._shutdown = False
         if reuse_map_path:
+            from ..io import mapio
+
+            self.tracker.ts_epoch = mapio.read_ts_epoch(reuse_map_path)
             # reuse mode starts LOST in localization-only, relocalizing
             # against the loaded map (System.cc:90, Tracking.cc:167-171)
             self.localization_only = True
@@ -264,6 +267,7 @@ class SLAMSystem:
         self.tracker._init_frame = None
         self.tracker.needs_reset = False
         self.tracker.mb_vo = False
+        self.tracker.ts_epoch = None
         # allocator watermarks are per-map: stale warm-run values would
         # trigger a spurious compaction (flush + device sync) on the first
         # frames after reset (ADVICE r2)
@@ -302,13 +306,15 @@ class SLAMSystem:
         from ..io import mapio
 
         self.flush_gba()
-        mapio.save_map(path, self.map)
+        mapio.save_map(path, self.map,
+                       ts_epoch=self.tracker.ts_epoch or 0.0)
 
     def load_map(self, path: str | Path):
         from ..io import mapio
 
         self.tracker.flush()
         self.map = mapio.load_map(path)
+        self.tracker.ts_epoch = mapio.read_ts_epoch(path)
         self.tracker.map = self.map
         if self.loop_closer is not None:
             # KeyFrameDatabase rebuild over the loaded map
@@ -340,7 +346,11 @@ class SLAMSystem:
     def save_keyframe_trajectory(self, path: str | Path):
         self.flush_gba()
         valid = np.asarray(self.map.kf_valid)
-        ts = np.asarray(self.map.kf_timestamp)[valid]
+        # device stamps are f32 offsets from the run's f64 epoch (see
+        # Tracker.ts_epoch); re-add it here so the written stamps match the
+        # reference's double-precision output (`src/System.cc:753-787`)
+        epoch = self.tracker.ts_epoch or 0.0
+        ts = np.asarray(self.map.kf_timestamp, np.float64)[valid] + epoch
         poses = np.asarray(self.map.kf_pose)[valid]
         traj_io.save_keyframe_trajectory(path, ts, poses)
 

