@@ -192,10 +192,26 @@ def build_pyramid(spec: ORBSpec, image: jax.Array) -> list[jax.Array]:
     """
     levels = []
     cur = image.astype(jnp.float32)
+    prev_h, prev_w = spec.height, spec.width
     for lvl, ls in enumerate(spec.levels):
         if lvl > 0:
-            cur = jax.image.resize(cur, (ls.height, ls.width), method="linear")
+            # Separable bilinear resize as two MXU matmuls: linear resize
+            # is a linear operator, so its per-axis matrices are exactly
+            # `jax.image.resize` applied to identity — traced on constants,
+            # they fold at compile time. The gather-based lowering of
+            # resize cost ~0.25 ms/level; the matmuls are ~0.1 GFLOP.
+            # Rounded to integers: the reference's cv::resize writes an 8U
+            # level (`src/ORBextractor.cc:1124`), so every downstream
+            # consumer (FAST, IC, BRIEF) sees integer pixels — and integer
+            # values <= 255 are EXACT in bf16, which the hot kernels
+            # exploit (see fast_score_map / brief_from_patches).
+            R_h = jax.image.resize(jnp.eye(prev_h, dtype=jnp.float32),
+                                   (ls.height, prev_h), method="linear")
+            R_w = jax.image.resize(jnp.eye(prev_w, dtype=jnp.float32),
+                                   (ls.width, prev_w), method="linear")
+            cur = jnp.rint(R_h @ cur @ R_w.T)
         levels.append(reflect101_pad(cur, EDGE))
+        prev_h, prev_w = ls.height, ls.width
     return levels
 
 
@@ -207,12 +223,15 @@ def fast_score_map(img: jax.Array, th_for_corner: int) -> jax.Array:
     (radius 3) score 0.
     """
     h, w = img.shape
-    # 16 ring differences via shifted slices of a 3-padded image
+    # 16 ring differences via shifted slices of a 3-padded image. The ring
+    # min/max tree runs in bf16: pyramid pixels are integers <= 255
+    # (build_pyramid rounds, reference-8U parity), so the differences are
+    # integers in [-255,255] — EXACT in bf16 at half the HBM traffic of f32
     pad = jnp.pad(img, 3, mode="edge")
     ring = jnp.stack(
         [pad[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in _FAST_RING]
     )  # (16,H,W)
-    d = ring - img[None]
+    d = (ring - img[None]).astype(jnp.bfloat16)
 
     def arc9_min(x):
         # min over all 9-long circular windows, via doubling rolls on axis 0
@@ -224,14 +243,14 @@ def fast_score_map(img: jax.Array, th_for_corner: int) -> jax.Array:
 
     score_bright = arc9_min(d)  # > t means all 9 brighter by > t
     score_dark = arc9_min(-d)
-    score = jnp.maximum(score_bright, score_dark)
+    score = jnp.maximum(score_bright, score_dark).astype(jnp.float32)
     # continuous tie-breaker (< 1 integer unit): the FAST score on 8-bit
     # data is a small integer, so hundreds of corners tie at the per-level
     # budget cut and the retained subset churns ~20% per frame as raster
     # order shifts (kills tracked-point persistence). Mean |ring contrast|
     # is a smooth, frame-stable function of the image that orders ties
     # without ever crossing integer score levels.
-    tie = jnp.mean(jnp.abs(d), axis=0) * (0.99 / 256.0)
+    tie = jnp.sum(jnp.abs(d), axis=0, dtype=jnp.float32) * (0.99 / 4096.0)
     score = jnp.where(score > th_for_corner, score + tie, 0.0)
     # kill 3px border (matches detection starting at minBorder anyway)
     ys = jnp.arange(h)[:, None]
@@ -360,6 +379,121 @@ def gaussian_blur7(padded: jax.Array) -> jax.Array:
     return pass1d(pass1d(padded, 0), 1)
 
 
+PATCH49 = 2 * (DESC_PAD + 3) + 1  # 49: BRIEF window (43) + blur margin (3)
+
+# (31,31) circular-mask moment weights for the patch-form IC angle
+_IC_DU = (np.arange(PATCH_SIZE) - HALF_PATCH)[None, :] * _IC_MASK
+_IC_DV = (np.arange(PATCH_SIZE) - HALF_PATCH)[:, None] * _IC_MASK
+
+
+def cut_patches_2ch(stack: jax.Array, xy: jax.Array) -> jax.Array:
+    """(B,2,49,49) bf16 patches from an integer-valued (2,Hp,Wp) stack.
+
+    A vmapped `dynamic_slice` lowers to ~1.2 us/patch of latency-bound
+    gather (2.4 ms/frame at 2000 keypoints); this two-stage form costs
+    ~0.5 ms: a contiguous ROW gather (fast vector loads) followed by a
+    per-keypoint column one-hot contraction on the MXU. Exact because the
+    stack holds integers <= 255 (bf16-representable)."""
+    r = DESC_PAD + 3
+    Wp = stack.shape[2]
+    y0 = xy[:, 1] + (EDGE - r)
+    x0 = xy[:, 0] + (EDGE - r)
+    ys = y0[:, None] + jnp.arange(PATCH49)[None, :]  # (B,49)
+    rows = stack[:, ys.reshape(-1), :]  # (2,B*49,Wp) contiguous row gather
+    rows = rows.reshape(2, -1, PATCH49, Wp).transpose(1, 0, 2, 3)
+    iota = jnp.arange(Wp, dtype=jnp.int32)
+    ohc = (x0[:, None, None] + jnp.arange(PATCH49)[None, :, None]
+           == iota[None, None, :])  # (B,49,Wp)
+    return jnp.einsum("bcrw,bpw->bcrp", rows.astype(jnp.bfloat16),
+                      ohc.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)
+
+
+def cut_patches49(padded: jax.Array, xy: jax.Array) -> jax.Array:
+    """One 49x49 patch per level-coord keypoint from the UNBLURRED padded
+    level. 49 = BRIEF's 43x43 sampling window + the 3-pixel blur margin, so
+    a single cut serves the IC angle, the in-patch Gaussian blur and the
+    descriptor sampling — replacing three whole-image passes (moment maps,
+    blur, per-keypoint re-cut) with per-keypoint work proportional to the
+    BUDGET, not the image area."""
+    r = DESC_PAD + 3
+    starts = jnp.stack([xy[:, 1] + (EDGE - r),
+                        xy[:, 0] + (EDGE - r)], -1).astype(jnp.int32)
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s[0], s[1]),
+                                        (PATCH49, PATCH49))
+    )(starts)  # (B,49,49) f32
+
+
+def ic_angles_from_patches(patches49: jax.Array) -> jax.Array:
+    """IC angle from the (31,31) interior of the 49x49 patches.
+
+    Same `IC_Angle` math (`src/ORBextractor.cc:76-103`) as `ic_angles`, as
+    a mask-weighted reduction over the patch instead of whole-image prefix
+    sums: m10 = sum(du*I), m01 = sum(dv*I) over the umax circle."""
+    r = DESC_PAD + 3 - HALF_PATCH  # 9
+    inner = patches49[:, r:r + PATCH_SIZE, r:r + PATCH_SIZE]
+    m10 = jnp.sum(inner * jnp.asarray(_IC_DU, inner.dtype), axis=(1, 2))
+    m01 = jnp.sum(inner * jnp.asarray(_IC_DV, inner.dtype), axis=(1, 2))
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def blur7_patches(patches49: jax.Array) -> jax.Array:
+    """7x7 sigma-2 Gaussian on each patch via shift-adds (see
+    `gaussian_blur7`); rolls wrap, contaminating only the 3-pixel margin
+    outside the 43x43 interior that BRIEF samples."""
+    k = _BLUR_K
+
+    def pass1d(img, axis):
+        out = k[3] * img
+        for d in (1, 2, 3):
+            out = out + k[3 - d] * jnp.roll(img, d, axis=axis) \
+                + k[3 + d] * jnp.roll(img, -d, axis=axis)
+        return out
+
+    return pass1d(pass1d(patches49, 1), 2)
+
+
+def brief_from_patches(patches43: jax.Array, angles_deg: jax.Array
+                       ) -> jax.Array:
+    """Rotated BRIEF-256 from pre-cut blurred 43x43 patches, (C,32) u8.
+
+    Sampling parity with `computeOrbDescriptor` (`src/ORBextractor.cc:
+    107-146`) INCLUDING the 8-bit blur image: the reference samples a
+    GaussianBlur written to 8U (`src/ORBextractor.cc:1089`), so sample
+    values are integers 0..255 — exactly representable in bf16. Rounding
+    the patches here therefore (a) matches the reference's quantization
+    and (b) lets the one-hot row-select run as a SINGLE bf16 einsum with
+    bf16 accumulation (each output picks exactly one element — no summed
+    rounding), at half the traffic of the old f32 hi/lo split."""
+    c = patches43.shape[0]
+    W = 2 * DESC_PAD + 1  # 43
+    a = jnp.cos(jnp.radians(angles_deg))
+    b = jnp.sin(jnp.radians(angles_deg))
+    pat = jnp.asarray(BIT_PATTERN_31, dtype=jnp.float32)  # (256,4)
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])  # (512,)
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    col_off = jnp.round(
+        px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
+    row_off = jnp.round(
+        px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
+    iota = jnp.arange(W, dtype=jnp.int32)
+    oh_r = (row_off[..., None] + DESC_PAD == iota)  # (C,512,43) bool
+    oh_c = (col_off[..., None] + DESC_PAD == iota)
+    p_int = jnp.rint(patches43).astype(jnp.bfloat16)  # integers <=255: exact
+    rows = jnp.einsum("crj,csr->csj", p_int, oh_r.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)
+    vals = jnp.sum(jnp.where(oh_c, rows, jnp.bfloat16(0)), -1)  # (C,512)
+    t0, t1 = vals[:, :256], vals[:, 256:]
+    bits = (t0 < t1).astype(jnp.uint8)  # (C,256)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    return jnp.einsum(
+        "ckb,b->ck", bits.reshape(c, 32, 8).astype(jnp.uint32),
+        weights.astype(jnp.uint32),
+    ).astype(jnp.uint8)
+
+
 def brief_descriptors(blurred: jax.Array, xy: jax.Array, angles_deg: jax.Array
                       ) -> jax.Array:
     """Rotated BRIEF-256 descriptors, (C,32) uint8.
@@ -449,9 +583,19 @@ def extract(spec: ORBSpec, image: jax.Array, mask: jax.Array | None = None
         # runners-up)
         score_sel, sel = jax.lax.top_k(score, min(ls.budget, score.shape[0]))
         xy = xy[sel]
-        ang = ic_angles(padded, xy)
-        blurred = gaussian_blur7(padded)
-        desc = brief_descriptors(blurred, xy, ang)
+        # ONE 2-channel patch cut per BUDGETED keypoint feeds both the IC
+        # angle (unblurred channel) and BRIEF (blurred channel) — the old
+        # path computed whole-image moment maps for every PIXEL and cut a
+        # second patch set inside brief_descriptors (~1.5 ms/frame). The
+        # blur is rounded to integers first (reference stores its blur as
+        # 8U, `src/ORBextractor.cc:1089`), making every patch value an
+        # integer <= 255 — exact in bf16, so the cut runs fully in bf16.
+        blurred = jnp.rint(gaussian_blur7(padded))
+        stack = jnp.stack([padded, blurred])  # (2,Hp,Wp) integer-valued
+        pp = cut_patches_2ch(stack, xy)  # (B,2,49,49) bf16
+        ang = ic_angles_from_patches(pp[:, 0].astype(jnp.float32))
+        W43 = 2 * DESC_PAD + 1
+        desc = brief_from_patches(pp[:, 1, 3:3 + W43, 3:3 + W43], ang)
         all_xy.append(xy.astype(jnp.float32) * ls.scale)
         all_resp.append(jnp.where(score_sel > 0, score_sel, -jnp.inf))
         all_ang.append(ang)

@@ -159,8 +159,28 @@ def _edge_terms(cam: projection.Camera, pose_lane, pt_lane, uv, ur, is2):
     return r, Jc, Jp, chi2, ok_z, is_st
 
 
-def _po_terms(cam, poses, pts, tb: FullBATables):
-    pose_lane = poses[jnp.clip(tb.po_cam, 0)]  # (P,O,4,4) gather
+def _onehot_po(tb: FullBATables, K: int) -> jax.Array:
+    """(P,O,K) f32 one-hot of each lane's observing camera, built ONCE per
+    solve. Every camera-side selection/reduction in the solver runs as an
+    einsum against this instead of a row gather: on this TPU runtime a
+    (P,O,*) gather from a (K,*) table lowers catastrophically (~1000x
+    slower than the equivalent MXU contraction — measured 1.2 s vs 0.2 ms
+    at P=32k, O=16, K=64). Invalid lanes (po_cam = -1) get all-zero rows."""
+    ids = jnp.arange(K, dtype=jnp.int32)
+    return (tb.po_cam[..., None] == ids).astype(jnp.float32)
+
+
+def _po_terms(cam, poses, pts, tb: FullBATables, oh: jax.Array | None = None):
+    if oh is None:
+        pose_lane = poses[jnp.clip(tb.po_cam, 0)]  # (P,O,4,4) gather
+    else:
+        K = poses.shape[0]
+        pose_lane = jnp.einsum(
+            "pok,kf->pof", oh, poses.reshape(K, 16),
+            precision=lm.HI).reshape(oh.shape[0], oh.shape[1], 4, 4)
+        # one-hot selection is exact at HIGHEST precision (1.0 * v splits
+        # as v_hi + v_lo); invalid lanes select the zero matrix, whose
+        # projection terms are masked by po_valid downstream
     pt_lane = pts[:, None, :]
     return _edge_terms(cam, pose_lane, pt_lane, tb.po_uv, tb.po_ur, tb.po_is2)
 
@@ -171,10 +191,10 @@ def _cm_terms(cam, poses, pts, tb: FullBATables):
     return _edge_terms(cam, pose_lane, pt_lane, tb.cm_uv, tb.cm_ur, tb.cm_is2)
 
 
-def _accept_cost(cam, poses, pts, tb: FullBATables, robust):
+def _accept_cost(cam, poses, pts, tb: FullBATables, robust, oh=None):
     """LM acceptance objective over the point-major lanes (Huber chi2 with
     a fixed penalty for behind-camera projections; see local_ba)."""
-    _, _, _, chi2, ok_z, is_st = _po_terms(cam, poses, pts, tb)
+    _, _, _, chi2, ok_z, is_st = _po_terms(cam, poses, pts, tb, oh)
     delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
     d = jnp.sqrt(delta2)
     rho = jnp.where(chi2 <= delta2, chi2,
@@ -192,18 +212,27 @@ def _weights(chi2, ok_z, live, is2, is_st, robust):
 
 
 def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
-               cg_iters: int, cg_tol: float):
+               cg_iters: int, cg_tol: float, oh: jax.Array | None = None):
     """One damped LM step via PCG on the implicit Schur complement.
 
-    Returns (dx_cam (K,6), dx_pt (P,3)). All reductions lane-local; the
-    only cross-layout traffic is two gathers per matvec.
+    Returns (dx_cam (K,6), dx_pt (P,3)). Single point-major layout: every
+    camera-side reduction (Hcc, gc, W·z, the block-Jacobi diagonal) is a
+    one-hot contraction against `oh` over the SAME (P,O) lanes — the old
+    dual-layout form needed two row gathers per CG matvec plus a full
+    camera-major term pass, all of which lower ~1000x slower than MXU
+    contractions on this runtime (see `_onehot_po`).
     """
     K = poses.shape[0]
     dtype = pts.dtype
+    if oh is None:
+        oh = _onehot_po(tb, K)
 
     # ---- point-major blocks ----
-    r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(cam, poses, pts, tb)
-    free_lane_po = tb.cam_free[jnp.clip(tb.po_cam, 0)] & tb.po_valid
+    r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(
+        cam, poses, pts, tb, oh)
+    free_lane_po = (jnp.einsum("pok,k->po", oh,
+                               tb.cam_free.astype(jnp.float32),
+                               precision=lm.HI) > 0.5) & tb.po_valid
     Jc_po = jnp.where(free_lane_po[..., None, None], Jc_po, 0.0)
     w_po = _weights(chi2_po, okz_po, tb.po_valid, tb.po_is2, st_po, robust)
     wJp = Jp_po * w_po[..., None, None]
@@ -221,17 +250,13 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     Hpp_inv = lm.inv3x3(jnp.where(pt_has[:, None, None], Hpp_d, eye3[None]))
     Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
 
-    # ---- camera-major blocks (same edges, same weights by construction) ----
-    r_cm, Jc_cm, Jp_cm, chi2_cm, okz_cm, st_cm = _cm_terms(cam, poses, pts, tb)
-    free_row = tb.cam_free[:, None] & tb.cm_valid
-    Jc_cm = jnp.where(free_row[..., None, None], Jc_cm, 0.0)
-    w_cm = _weights(chi2_cm, okz_cm, tb.cm_valid, tb.cm_is2, st_cm, robust)
-    wJc_cm = Jc_cm * w_cm[..., None, None]
-    Hcc = jnp.sum(wJc_cm[..., :, :, None] * Jc_cm[..., :, None, :],
-                  axis=-3).sum(1)  # (K,6,6)
-    gc = -jnp.sum(wJc_cm * r_cm[..., None], axis=(1, 2))  # (K,6)
-    W_cm = jnp.sum(wJc_cm[..., :, :, None] * Jp_cm[..., :, None, :],
-                   axis=-3)  # (K,N,6,3)
+    # ---- camera blocks by one-hot contraction over the same lanes ----
+    JcwJc = jnp.sum(wJc[..., :, :, None] * Jc_po[..., :, None, :],
+                    axis=-3)  # (P,O,6,6) per-lane Jc^T w Jc
+    Hcc = jnp.einsum("pok,poab->kab", oh, JcwJc, precision=lm.HI)
+    gc = -jnp.einsum("pok,poa->ka", oh,
+                     jnp.sum(wJc * r_po[..., None], axis=-2),
+                     precision=lm.HI)
 
     # damped camera diagonal; identity rows for fixed/invalid cams
     eye6 = jnp.eye(6, dtype=dtype)
@@ -239,28 +264,29 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     Hcc_d = Hcc + eye6 * (lam * Hcc_diag + 1e-8)[..., None]
     Hcc_d = jnp.where(tb.cam_free[:, None, None], Hcc_d, eye6[None])
 
-    Hinv_pt_cm = Hpp_inv[jnp.clip(tb.cm_pt, 0)]  # (K,N,3,3) gather
-
     def matvec(x):  # x (K,6) -> (K,6)
         a = jnp.sum(Hcc_d * x[:, None, :], axis=-1)  # (K,6)
-        x_lane = x[jnp.clip(tb.po_cam, 0)]  # (P,O,6)
+        x_lane = jnp.einsum("pok,ka->poa", oh, x, precision=lm.HI)
         t = jnp.sum(W_po * x_lane[..., :, None], axis=(1, 2))  # (P,3)
         z = jnp.sum(Hpp_inv * t[:, None, :], axis=-1)  # (P,3)
-        z_lane = z[jnp.clip(tb.cm_pt, 0)]  # (K,N,3)
-        b = jnp.sum(jnp.sum(W_cm * z_lane[..., None, :], axis=-1),
-                    axis=1)  # (K,6)
+        contrib = jnp.sum(W_po * z[:, None, None, :], axis=-1)  # (P,O,6)
+        b = jnp.einsum("pok,poa->ka", oh, contrib, precision=lm.HI)
         return a - b
 
     # rhs = gc - W Hpp^-1 gp
     gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
-    gp_lane = gp_z[jnp.clip(tb.cm_pt, 0)]
-    rhs = gc - jnp.sum(jnp.sum(W_cm * gp_lane[..., None, :], axis=-1), axis=1)
+    rhs = gc - jnp.einsum(
+        "pok,poa->ka", oh,
+        jnp.sum(W_po * gp_z[:, None, None, :], axis=-1), precision=lm.HI)
     rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
 
-    # block-Jacobi preconditioner: exact 6x6 diagonal of S
-    WHW = jnp.einsum("knab,knbc,kndc->knad", W_cm, Hinv_pt_cm, W_cm,
-                     precision=lm.HI)  # (K,N,6,6)
-    S_diag = Hcc_d - jnp.sum(WHW, axis=1)
+    # block-Jacobi preconditioner: exact 6x6 diagonal of S (lane-local
+    # W Hpp^-1 W^T, contracted to cameras)
+    WH = jnp.einsum("poab,pbc->poac", W_po, Hpp_inv,
+                    precision=lm.HI)  # (P,O,6,3)
+    WHW = jnp.einsum("poac,podc->poad", WH, W_po,
+                     precision=lm.HI)  # (P,O,6,6)
+    S_diag = Hcc_d - jnp.einsum("pok,poab->kab", oh, WHW, precision=lm.HI)
     S_diag = jnp.where(tb.cam_free[:, None, None], S_diag, eye6[None])
     Minv = jnp.linalg.inv(S_diag)
     Minv = jnp.where(jnp.isfinite(Minv), Minv, eye6[None])
@@ -298,7 +324,7 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None], dx_cam, 0.0)
 
     # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)
-    dx_lane = dx_cam[jnp.clip(tb.po_cam, 0)]
+    dx_lane = jnp.einsum("pok,ka->poa", oh, dx_cam, precision=lm.HI)
     Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))  # (P,3)
     dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
     dx_pt = jnp.where((pt_has & tb.pt_valid)[:, None], dx_pt, 0.0)
@@ -330,7 +356,8 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
     robust_flag = jnp.asarray(robust)
     if abort is None:
         abort = jnp.asarray(False)
-    cur0 = _accept_cost(cam, poses, pts, tb, robust_flag)
+    oh = _onehot_po(tb, poses.shape[0])  # one (P,O,K) build, reused all solve
+    cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
     free = tb.cam_free[:, None]
 
     def body(carry, _):
@@ -339,10 +366,10 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
         def step(args):
             poses, pts, lam, cur = args
             dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
-                                  cg_iters, cg_tol)
+                                  cg_iters, cg_tol, oh)
             new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
             new_pts = pts + dxp
-            new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag)
+            new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
             accept = new < cur
             poses_ = jnp.where(accept, new_poses, poses)
             pts_ = jnp.where(accept, new_pts, pts)

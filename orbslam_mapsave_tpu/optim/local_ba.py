@@ -297,7 +297,12 @@ def _build_and_solve(cam, poses, pts, prob, oh, active, robust, lam):
     Sf = jnp.where(mask[:, None] & mask[None, :], Sf, 0.0)
     Sf = Sf + jnp.diag(jnp.where(mask, 0.0, 1.0))
     rhs_f = jnp.where(mask, rhs.reshape(-1), 0.0)
-    dx_cam = jnp.linalg.solve(Sf, rhs_f).reshape(C, 6)
+    # Cholesky: S is SPD by construction (damped Schur complement with
+    # identity rows for fixed cams); `jnp.linalg.solve` lowers to
+    # partial-pivot LU, ~10x slower on TPU at this size (see the same
+    # switch in optim/pose_graph.py)
+    chol = jax.scipy.linalg.cho_factor(Sf, lower=True)
+    dx_cam = jax.scipy.linalg.cho_solve(chol, rhs_f).reshape(C, 6)
     dx_cam = jnp.where(jnp.isfinite(dx_cam), dx_cam, 0.0)
 
     # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)

@@ -228,7 +228,7 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
         # map-less VO mode it has nothing to match — the reference skips
         # TrackLocalMap when mbVO (`src/Tracking.cc:654-660`); here the
         # outcome is simply not gated on its inlier count. ----
-        local_idx, ref2 = k["gather_local_map"](state, m1)
+        local_idx, ref2 = k["gather_local_map"](state, m1, pose1)
         state2, pose2, m2, n_inl = k["track_local_map"](
             state, frame, pose1, m1, local_idx,
             jnp.asarray(cfg.local_th, jnp.float32))

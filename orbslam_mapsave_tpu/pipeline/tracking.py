@@ -185,10 +185,20 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         return pose, matched_pt, n_inl, n_map
 
     @jax.jit
-    def gather_local_map(state: ms.MapState, matched_pt: jax.Array):
+    def gather_local_map(state: ms.MapState, matched_pt: jax.Array,
+                         pose: jax.Array):
         """`Tracking::UpdateLocalKeyFrames/Points` (`src/Tracking.cc:1455-1599`):
         vote for KFs observing current points; local map = points of the
-        top-80 voted KFs. Returns (local_pt_idx (LOCAL_PTS,), ref_kf)."""
+        top-80 voted KFs. Returns (local_pt_idx (LOCAL_PTS,), ref_kf).
+
+        Scatter-free membership: the selected-KF set is packed into
+        ceil(K/32) bitmask words, and each point tests its observer lanes
+        with vectorized shifts — the old row-gather + 184k-element scatter
+        flag build cost ~2 ms/frame. Points outside the current frustum
+        (with a 25% window margin) are dropped BEFORE compaction, so the
+        LOCAL_PTS lanes hold only candidates `SearchLocalPoints` could
+        actually match (`src/Tracking.cc:1403-1453` culls the same way via
+        isInFrustum)."""
         K = state.kf_capacity
         ok = (matched_pt >= 0)
         safe = jnp.clip(matched_pt, 0)
@@ -201,22 +211,36 @@ def make_tracking_kernels(cam: projection.Camera, builder: frame_mod.FrameBuilde
         ref_kf = jnp.argmax(votes).astype(jnp.int32)
         top_votes, top_kfs = jax.lax.top_k(votes, min(LOCAL_KFS, K))
         kf_sel = top_votes > 0
-        # add covisible neighbors of voted KFs (Tracking.cc:1550-1563) by
-        # flagging their top-10 covisible rows
+        # add covisible neighbors of voted KFs (Tracking.cc:1550-1563)
         neigh = ms.covisible_keyframes(state, ref_kf, 10)
-        # local points: all points referenced by selected KFs. Gather ONLY
-        # the <=90 selected rows before flattening — flagging via the full
-        # (K,N) table is a 1M-row scatter (~9ms/frame measured); the
-        # restricted form is a cheap row gather + 184k-row scatter.
         sel = jnp.concatenate([jnp.where(kf_sel, top_kfs.astype(jnp.int32), -1),
-                               neigh])  # (top+10,)
-        pts_sel = state.kf_kp_point[jnp.clip(sel, 0)]  # (S,N)
-        pts_sel = jnp.where((sel >= 0)[:, None], pts_sel, -1)
-        flat = pts_sel.reshape(-1)
-        pt_flag = jnp.zeros(state.pt_capacity, jnp.int8).at[
-            jnp.clip(flat, 0)
-        ].max(jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
-        pt_flag = jnp.where(state.pt_valid, pt_flag, 0)
+                               neigh])  # (S,)
+        n_words = (K + 31) // 32
+        words = jnp.zeros(n_words, jnp.int32).at[
+            jnp.clip(sel, 0) >> 5
+        ].max(jnp.where(sel >= 0, 1 << (jnp.clip(sel, 0) & 31), 0),
+              mode="drop")
+        # per-point observer test against the bitmask (pure VPU shifts)
+        po = state.pt_obs_kf  # (P,O)
+        po_safe = jnp.clip(po, 0)
+        bit = jnp.zeros(po.shape, jnp.int32)
+        for w in range(n_words):
+            bit = bit | jnp.where(
+                (po_safe >> 5) == w,
+                (words[w] >> (po_safe & 31)) & 1, 0)
+        in_local = ((bit > 0) & (po >= 0)).any(-1) & state.pt_valid
+        # frustum prefilter at 1.25x image bounds (projection margin for
+        # the search window radius)
+        p_cam = se3.transform_points(pose, state.pt_pos)
+        z = p_cam[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = cam.fx * p_cam[:, 0] / zs + cam.cx
+        v = cam.fy * p_cam[:, 1] / zs + cam.cy
+        mx = 0.25 * (bounds[1] - bounds[0])
+        my = 0.25 * (bounds[3] - bounds[2])
+        in_view = (z > 0) & (u >= bounds[0] - mx) & (u < bounds[1] + mx) \
+            & (v >= bounds[2] - my) & (v < bounds[3] + my)
+        pt_flag = (in_local & in_view).astype(jnp.int8)
         local_idx = ms.compact_indices(pt_flag,
                                        min(LOCAL_PTS, state.pt_capacity))
         return local_idx, ref_kf

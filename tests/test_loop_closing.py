@@ -79,9 +79,10 @@ def trained_voc(loop_seq):
     return vocabulary.train(np.concatenate(descs), k=10, L=4, seed=1)
 
 
-def kf_ate(state, gt_poses):
+def kf_ate(state, gt_poses, ts_epoch=T0):
+    # device stamps are f32 offsets from the run's epoch (Tracker.ts_epoch)
     valid = np.asarray(state.kf_valid)
-    ts = np.asarray(state.kf_timestamp)[valid]
+    ts = np.asarray(state.kf_timestamp, np.float64)[valid] + ts_epoch
     poses = np.asarray(state.kf_pose)[valid]
     est = np.linalg.inv(poses)
     gt_ts = T0 + np.arange(len(gt_poses)) / FPS

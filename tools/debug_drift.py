@@ -63,7 +63,7 @@ def main():
         m, nm = k["track_motion"](st, fr, pose_pred, last_matched, last_frame,
                                   jnp.asarray(tcfg.motion_th, jnp.float32))
         pose1, m1, ninl1 = k["optimize_pose"](st, fr, pose_pred, m)
-        local_idx, ref2 = k["gather_local_map"](st, m1)
+        local_idx, ref2 = k["gather_local_map"](st, m1, pose1)
         st2, pose2, m2, n_inl = k["track_local_map"](
             st, fr, pose1, m1, local_idx,
             jnp.asarray(tcfg.local_th, jnp.float32))

@@ -46,7 +46,7 @@ def main():
         pose1, m1, _ = k["optimize_pose"](st, fr, pose_pred, m)
         if i == N_TARGET:
             break
-        local_idx, _ = k["gather_local_map"](st, m1)
+        local_idx, _ = k["gather_local_map"](st, m1, pose1)
         st, pose2, m2, n_inl = k["track_local_map"](
             st, fr, pose1, m1, local_idx, jnp.asarray(3.0, jnp.float32))
         ok2 = int(n_inl) >= 30
@@ -57,7 +57,7 @@ def main():
                              last_matched=m2, last_frame=fr)
 
     # ---- introspect the local search at frame N_TARGET ----
-    local_idx, _ = k["gather_local_map"](st, m1)
+    local_idx, _ = k["gather_local_map"](st, m1, pose1)
     lp = jnp.clip(local_idx, 0)
     lp_valid = (local_idx >= 0) & st.pt_valid[lp]
     already = jnp.zeros(st.pt_capacity, bool).at[jnp.clip(m1, 0)].set(m1 >= 0)

@@ -53,7 +53,7 @@ def main():
     m, nm = k["track_motion"](st, fr, pose_pred, ctrl.last_matched,
                               ctrl.last_frame, jnp.asarray(15.0, jnp.float32))
     pose1, m1, ninl1 = k["optimize_pose"](st, fr, pose_pred, m)
-    local_idx, _ = k["gather_local_map"](st, m1)
+    local_idx, _ = k["gather_local_map"](st, m1, pose1)
     # replicate track_local_map WITHOUT the final strip
     lp = jnp.clip(local_idx, 0)
     lp_valid = (local_idx >= 0) & st.pt_valid[lp]

@@ -50,7 +50,7 @@ def main():
                                   jnp.asarray(tcfg.motion_th, jnp.float32))
         nm_i = int(nm)
         pose1, m1, ninl1 = k["optimize_pose"](st, fr, pose_pred, m)
-        local_idx, ref2 = k["gather_local_map"](st, m1)
+        local_idx, ref2 = k["gather_local_map"](st, m1, pose1)
         n_local = int(jnp.sum(local_idx >= 0))
         st, pose2, m2, n_inl = k["track_local_map"](
             st, fr, pose1, m1, local_idx, jnp.asarray(tcfg.local_th, jnp.float32))

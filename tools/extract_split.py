@@ -19,6 +19,7 @@ W, H = bench_mod.W, bench_mod.H
 spec = orb.ORBSpec.create(H, W, n_features=2000, n_levels=4, scale_factor=1.5,
                           max_kp=2048)
 img = jnp.asarray(data["frames"][0][0], jnp.float32)
+jax.device_get(jnp.zeros(()))  # force real (non-deferred) execution timing on axon
 REP = 50
 
 

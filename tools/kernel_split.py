@@ -72,8 +72,8 @@ def main():
         ctrl.pose, no_temp))
     t("optimize_pose", lambda: kernels["optimize_pose"](state, fr, pose_pred, m))
     pose, mm, ninl = kernels["optimize_pose"](state, fr, pose_pred, m)
-    t("gather_local_map", lambda: kernels["gather_local_map"](state, mm))
-    local_idx, ref2 = kernels["gather_local_map"](state, mm)
+    t("gather_local_map", lambda: kernels["gather_local_map"](state, mm, pose))
+    local_idx, ref2 = kernels["gather_local_map"](state, mm, pose)
     t("track_local_map", lambda: kernels["track_local_map"](
         state, fr, pose, mm, local_idx, jnp.asarray(3.0, jnp.float32)))
     t("track_ref_kf", lambda: kernels["track_ref_kf"](state, fr, ctrl.ref_kf))

@@ -77,8 +77,8 @@ def main():
         state, fr, pose_pred, pw, have, m))
     pose, mm, ninl, _ = kernels["optimize_pose_xyz"](
         state, fr, pose_pred, pw, have, m)
-    t("  gather_local_map", lambda: kernels["gather_local_map"](state, mm))
-    local_idx, ref2 = kernels["gather_local_map"](state, mm)
+    t("  gather_local_map", lambda: kernels["gather_local_map"](state, mm, pose))
+    local_idx, ref2 = kernels["gather_local_map"](state, mm, pose)
     t("  track_local_map", lambda: kernels["track_local_map"](
         state, fr, pose, mm, local_idx, jnp.asarray(3.0, jnp.float32)))
 

@@ -79,8 +79,8 @@ def main():
         state, fr, pose_pred, pw, have, m))
     pose, mm, ninl, _ = k["optimize_pose_xyz"](state, fr, pose_pred, pw,
                                                have, m)
-    t("  gather_local_map", lambda: k["gather_local_map"](state, mm))
-    local_idx, ref2 = k["gather_local_map"](state, mm)
+    t("  gather_local_map", lambda: k["gather_local_map"](state, mm, pose))
+    local_idx, ref2 = k["gather_local_map"](state, mm, pose)
     t("  track_local_map", lambda: k["track_local_map"](
         state, fr, pose, mm, local_idx, jnp.asarray(3.0, jnp.float32)))
     lc = slam.loop_closer
