@@ -45,10 +45,27 @@ def _edge_residual(S_i, S_j, S_meas, xi_i, xi_j):
     return se3.sim3_log(S_meas @ se3.sim3_inv(rel))
 
 
-def _linearize(S, prob: PoseGraphProblem):
+def _edge_onehots(prob: PoseGraphProblem, K: int):
+    """(E,K) one-hot incidence of each edge's endpoints (f32). Endpoint
+    selection and Hessian assembly run as contractions against these —
+    row gathers and (K,K,7,7) scatter-adds both lower pathologically on
+    the TPU runtime (see optim/global_ba._onehot_po)."""
+    ids = jnp.arange(K, dtype=jnp.int32)
+    oh_i = (prob.edge_i[:, None] == ids).astype(jnp.float32)
+    oh_j = (prob.edge_j[:, None] == ids).astype(jnp.float32)
+    return oh_i, oh_j
+
+
+def _select_poses(S, oh):
+    K = S.shape[0]
+    return jnp.einsum("ek,kf->ef", oh, S.reshape(K, 16),
+                      precision=lm_mod.HI).reshape(-1, 4, 4)
+
+
+def _linearize(S, prob: PoseGraphProblem, oh_i, oh_j):
     """Residuals (E,7) and Jacobians (E,7,7)x2 at xi=0 for all edges."""
-    Si = S[prob.edge_i]
-    Sj = S[prob.edge_j]
+    Si = _select_poses(S, oh_i)
+    Sj = _select_poses(S, oh_j)
     z7 = jnp.zeros(7, S.dtype)
 
     def res_fn(xi_i, xi_j, a, b, m):
@@ -64,9 +81,9 @@ def _linearize(S, prob: PoseGraphProblem):
     return r, Ji, Jj
 
 
-def _residuals_only(S, prob: PoseGraphProblem):
-    Si = S[prob.edge_i]
-    Sj = S[prob.edge_j]
+def _residuals_only(S, prob: PoseGraphProblem, oh_i, oh_j):
+    Si = _select_poses(S, oh_i)
+    Sj = _select_poses(S, oh_j)
     z7 = jnp.zeros(7, S.dtype)
     return jax.vmap(lambda a, b, m: _edge_residual(a, b, m, z7, z7))(
         Si, Sj, prob.edge_meas)
@@ -82,31 +99,35 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20):
     LU path made the essential graph a multi-second stall per loop event)."""
     K = prob.S_init.shape[0]
     free = prob.valid & ~prob.fixed
+    oh_i, oh_j = _edge_onehots(prob, K)
 
     def chi2_of(S):
-        r = _residuals_only(S, prob)
+        r = _residuals_only(S, prob, oh_i, oh_j)
         return jnp.sum(
             jnp.where(prob.edge_valid, prob.edge_weight * jnp.sum(r * r, -1), 0.0)
         )
 
     def step(S, lam):
-        r, Ji, Jj = _linearize(S, prob)
+        r, Ji, Jj = _linearize(S, prob, oh_i, oh_j)
         w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
         cur = jnp.sum(w * jnp.sum(r * r, -1))
-        # assemble dense H (K*7, K*7) and g (K*7)
+        # assemble dense H (K*7, K*7) and g (K*7) by incidence contraction
+        # (the (K,K,7,7) scatter-add form serialized ~50k updates/iter)
         Hii = jnp.einsum("eri,e,erj->eij", Ji, w, Ji, precision=lm_mod.HI)
         Hjj = jnp.einsum("eri,e,erj->eij", Jj, w, Jj, precision=lm_mod.HI)
         Hij = jnp.einsum("eri,e,erj->eij", Ji, w, Jj, precision=lm_mod.HI)
         gi = -jnp.einsum("eri,e,er->ei", Ji, w, r, precision=lm_mod.HI)
         gj = -jnp.einsum("eri,e,er->ei", Jj, w, r, precision=lm_mod.HI)
-        H = jnp.zeros((K, K, 7, 7), S.dtype)
-        H = H.at[prob.edge_i, prob.edge_i].add(Hii)
-        H = H.at[prob.edge_j, prob.edge_j].add(Hjj)
-        H = H.at[prob.edge_i, prob.edge_j].add(Hij)
-        H = H.at[prob.edge_j, prob.edge_i].add(jnp.swapaxes(Hij, -1, -2))
-        g = jnp.zeros((K, 7), S.dtype)
-        g = g.at[prob.edge_i].add(gi)
-        g = g.at[prob.edge_j].add(gj)
+        H = (jnp.einsum("ea,eb,eij->abij", oh_i, oh_i, Hii,
+                        precision=lm_mod.HI)
+             + jnp.einsum("ea,eb,eij->abij", oh_j, oh_j, Hjj,
+                          precision=lm_mod.HI)
+             + jnp.einsum("ea,eb,eij->abij", oh_i, oh_j, Hij,
+                          precision=lm_mod.HI)
+             + jnp.einsum("ea,eb,eji->abij", oh_i, oh_j, Hij,
+                          precision=lm_mod.HI).transpose(1, 0, 2, 3))
+        g = (jnp.einsum("ek,ei->ki", oh_i, gi, precision=lm_mod.HI)
+             + jnp.einsum("ek,ei->ki", oh_j, gj, precision=lm_mod.HI))
         Hf = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
         mask = jnp.repeat(free, 7)
         Hf = jnp.where(mask[:, None] & mask[None, :], Hf, 0.0)

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry import projection, se3
 from ..optim import global_ba
@@ -64,63 +63,70 @@ class GBAJob:
         - points with slot < snapshot: corrected position (`:754-758`);
         - points created during the run: moved through their reference
           keyframe's before/after poses (`:760-776`).
+
+        ONE device program: the old host form fetched the full map over
+        the tunnel and looped keyframes in Python (~650 ms per loop event
+        inside the timed region); the propagation chain is a K-step
+        `fori_loop` in slot order (a parent is always allocated before
+        its child), everything else is vectorized.
         """
         if self.aborted:
             return state
-        K = state.kf_capacity
-        old_poses = np.asarray(self.snap_kf_pose)
-        gba_poses = np.asarray(self.kf_pose_gba)
-        cur_poses = np.asarray(state.kf_pose)
-        kf_valid = np.asarray(state.kf_valid)
-        n_kf_now = int(state.n_kf)
-
-        new_poses = cur_poses.copy()
-        covered = np.zeros(K, bool)
-        for k in range(min(self.snap_n_kf, K)):
-            if kf_valid[k]:
-                new_poses[k] = gba_poses[k]
-                covered[k] = True
-        # propagate to keyframes created during the run, in slot order
-        # (a parent is always allocated before its child)
-        parent = np.asarray(state.kf_parent)
-        for k in range(self.snap_n_kf, n_kf_now):
-            if not kf_valid[k]:
-                continue
-            p = int(parent[k])
-            if p < 0 or not covered[p]:
-                covered[k] = True  # orphan: keep current pose
-                continue
-            # T_child_parent from the apply-time chain (the reference reads
-            # GetPose() under the map lock at propagation time,
-            # LoopClosing.cc:697-707), re-anchored on the corrected parent
-            T_cp = cur_poses[k] @ np.linalg.inv(cur_poses[p])
-            new_poses[k] = T_cp @ new_poses[p]
-            covered[k] = True
-
-        # points: snapshot points take GBA positions; younger points move
-        # through their reference KF's before/after pair
-        pt_pos = np.asarray(state.pt_pos).copy()
-        pt_valid = np.asarray(state.pt_valid)
-        gba_pts = np.asarray(self.pt_pos_gba)
-        n_pt_now = int(state.n_pt)
-        old_cut = min(self.snap_n_pt, pt_pos.shape[0])
-        m_old = pt_valid[:old_cut]
-        pt_pos[:old_cut][m_old] = gba_pts[:old_cut][m_old]
-        if n_pt_now > self.snap_n_pt:
-            sl = slice(self.snap_n_pt, n_pt_now)
-            refs = np.asarray(state.pt_ref_kf)[sl]
-            ok = pt_valid[sl] & (refs >= 0)
-            safe = np.clip(refs, 0, K - 1)
-            # pre-correction ref pose: the pose the point was built against
-            T_ref_old = cur_poses[safe]
-            T_ref_new = new_poses[safe]
-            p_cam = np.einsum("nij,nj->ni", T_ref_old[:, :3, :3],
-                              pt_pos[sl]) + T_ref_old[:, :3, 3]
-            Twc = np.linalg.inv(T_ref_new)
-            p_new = np.einsum("nij,nj->ni", Twc[:, :3, :3], p_cam) \
-                + Twc[:, :3, 3]
-            pt_pos[sl] = np.where(ok[:, None], p_new, pt_pos[sl])
-        return state._replace(
-            kf_pose=jnp.asarray(new_poses.astype(cur_poses.dtype)),
-            pt_pos=jnp.asarray(pt_pos.astype(np.asarray(state.pt_pos).dtype)),
+        return _apply_device(
+            state, self.kf_pose_gba, self.pt_pos_gba,
+            jnp.asarray(self.snap_n_kf, jnp.int32),
+            jnp.asarray(self.snap_n_pt, jnp.int32),
         )
+
+
+@jax.jit
+def _apply_device(state: ms.MapState, gba_poses: jax.Array,
+                  gba_pts: jax.Array, snap_n_kf: jax.Array,
+                  snap_n_pt: jax.Array) -> ms.MapState:
+    K = state.kf_capacity
+    cur_poses = state.kf_pose
+    slots = jnp.arange(K, dtype=jnp.int32)
+    in_snap = (slots < snap_n_kf) & state.kf_valid
+    new_poses = jnp.where(in_snap[:, None, None], gba_poses, cur_poses)
+    covered0 = in_snap
+    parent = state.kf_parent
+    is_new = (slots >= snap_n_kf) & state.kf_valid
+
+    def body(k, carry):
+        poses, covered = carry
+        p = jnp.clip(parent[k], 0)
+        ok = is_new[k] & (parent[k] >= 0) & covered[p]
+        # T_child_parent from the apply-time chain, re-anchored on the
+        # corrected parent (LoopClosing.cc:697-707)
+        T_cp = cur_poses[k] @ se3.se3_inv(cur_poses[p])
+        prop = T_cp @ poses[p]
+        poses = poses.at[k].set(jnp.where(ok, prop, poses[k]))
+        covered = covered.at[k].set(covered[k] | state.kf_valid[k])
+        return poses, covered
+
+    new_poses, _ = jax.lax.fori_loop(0, K, body, (new_poses, covered0))
+
+    # points: snapshot points take GBA positions; younger points move
+    # through their reference KF's before/after pair
+    P = state.pt_capacity
+    pslots = jnp.arange(P, dtype=jnp.int32)
+    old = (pslots < snap_n_pt) & state.pt_valid
+    young = (pslots >= snap_n_pt) & state.pt_valid & (state.pt_ref_kf >= 0)
+    # per-point reference poses via one-hot contraction (a (P,) row gather
+    # from the (K,4,4) table lowers ~1000x slower on this runtime — see
+    # optim/global_ba._onehot_po)
+    safe = jnp.clip(state.pt_ref_kf, 0, K - 1)
+    oh = (safe[:, None] == jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
+    from ..optim import lm as lm_mod
+
+    T_ref_old = jnp.einsum("pk,kf->pf", oh, cur_poses.reshape(K, 16),
+                           precision=lm_mod.HI).reshape(P, 4, 4)
+    T_ref_new = jnp.einsum("pk,kf->pf", oh, new_poses.reshape(K, 16),
+                           precision=lm_mod.HI).reshape(P, 4, 4)
+    p_cam = jnp.einsum("nij,nj->ni", T_ref_old[:, :3, :3],
+                       state.pt_pos) + T_ref_old[:, :3, 3]
+    Twc = se3.se3_inv(T_ref_new)
+    p_prop = jnp.einsum("nij,nj->ni", Twc[:, :3, :3], p_cam) + Twc[:, :3, 3]
+    pt_pos = jnp.where(old[:, None], gba_pts,
+                       jnp.where(young[:, None], p_prop, state.pt_pos))
+    return state._replace(kf_pose=new_poses, pt_pos=pt_pos)

@@ -465,15 +465,35 @@ class LoopCloser:
             S_corr_cur = S_cl @ poses[match_kf]
             S_ik = poses @ se3.se3_inv(poses[kf])  # (K,4,4) relative, scale 1
             corr = S_ik @ S_corr_cur  # (K,4,4) corrected Scw (Sim3)
-            # point correction through the FIRST window observer (:469-499)
+            # point correction through the FIRST window observer (:469-499).
+            # Window membership tested against a bitmask and poses selected
+            # by one-hot contraction: (P,O) gathers from (K,) tables lower
+            # ~1000x slower on this runtime (optim/global_ba._onehot_po).
             obs_kf = state.pt_obs_kf
-            in_win = (obs_kf >= 0) & wmask[jnp.clip(obs_kf, 0)]
+            n_words = (K + 31) // 32
+            ids_k = jnp.arange(K, dtype=jnp.int32)
+            words = jnp.zeros(n_words, jnp.int32).at[ids_k >> 5].max(
+                jnp.where(wmask, 1 << (ids_k & 31), 0))
+            po_safe = jnp.clip(obs_kf, 0)
+            bit = jnp.zeros(obs_kf.shape, jnp.int32)
+            for wi in range(n_words):
+                bit = bit | jnp.where((po_safe >> 5) == wi,
+                                      (words[wi] >> (po_safe & 31)) & 1, 0)
+            in_win = (obs_kf >= 0) & (bit > 0)
             has = in_win.any(-1) & state.pt_valid
             first_lane = jnp.argmax(in_win, -1)
-            ref = obs_kf[jnp.arange(P), first_lane]
+            lane_ids = jnp.arange(obs_kf.shape[1], dtype=jnp.int32)
+            ref = jnp.sum(jnp.where(lane_ids[None, :] == first_lane[:, None],
+                                    obs_kf, 0), axis=-1)
             safe_ref = jnp.clip(ref, 0)
-            S_old = poses[safe_ref]  # (P,4,4) scale-1 pose
-            S_new_inv = se3.sim3_inv(corr)[safe_ref]
+            oh_ref = (safe_ref[:, None] == ids_k).astype(jnp.float32)
+            from ..optim import lm as lm_mod
+
+            S_old = jnp.einsum("pk,kf->pf", oh_ref, poses.reshape(K, 16),
+                               precision=lm_mod.HI).reshape(P, 4, 4)
+            S_new_inv = jnp.einsum(
+                "pk,kf->pf", oh_ref, se3.sim3_inv(corr).reshape(K, 16),
+                precision=lm_mod.HI).reshape(P, 4, 4)
             p_cam = jnp.einsum("pij,pj->pi", S_old[:, :3, :3],
                                state.pt_pos) + S_old[:, :3, 3]
             p_new = jnp.einsum("pij,pj->pi", S_new_inv[:, :3, :3], p_cam) \
@@ -657,11 +677,20 @@ class LoopCloser:
                 edge_weight=jnp.ones(E_CAP, jnp.float32),
             )
             S_opt, _ = pose_graph.optimize_pose_graph(prob, n_iters=20)
-            # correct points through reference KFs (Optimizer.cc:1031-1060)
+            # correct points through reference KFs (Optimizer.cc:1031-1060);
+            # one-hot pose selection (see _onehot_po rationale)
+            from ..optim import lm as lm_mod
+
             refs = state.pt_ref_kf
             safe_ref = jnp.clip(refs, 0, K - 1)
-            S_old_ref = poses[safe_ref]
-            S_new_ref = S_opt[safe_ref]
+            oh_ref = (safe_ref[:, None] == ids).astype(jnp.float32)
+            P_ = state.pt_capacity
+            S_old_ref = jnp.einsum(
+                "pk,kf->pf", oh_ref, poses.reshape(K, 16),
+                precision=lm_mod.HI).reshape(P_, 4, 4)
+            S_new_ref = jnp.einsum(
+                "pk,kf->pf", oh_ref, S_opt.reshape(K, 16),
+                precision=lm_mod.HI).reshape(P_, 4, 4)
             p_new = pose_graph.correct_points(state.pt_pos, S_old_ref,
                                               S_new_ref)
             upd = state.pt_valid & (refs >= 0)

@@ -127,18 +127,27 @@ def _sparse_common_and_scores(store: SparseBowStore, q_word: jax.Array,
     """(common (K,), scores (K,)) against all rows at once.
 
     score = sum_shared min(v1, v2)  ==  1 - 0.5*|v1 - v2|_1 for
-    L1-normalized vectors (`L1Scoring::score`, ScoringObject.cpp:23-70)."""
+    L1-normalized vectors (`L1Scoring::score`, ScoringObject.cpp:23-70).
+
+    Sorted-merge join per row: concatenate the query words onto every
+    row and re-sort — shared words land adjacent, and words are unique
+    within each side, so an equal-adjacent pair IS an intersection hit.
+    One native (K, M+Mq) sort replaces the old vmapped `searchsorted`
+    (~1.4M serialized binary-search gathers, 33 ms per detection on the
+    TPU runtime — this form is ~1 ms)."""
     K, M = store.word.shape
-    pos = jax.vmap(lambda row: jnp.searchsorted(row, q_word))(
-        store.word)  # (K,Mq)
-    pos = jnp.clip(pos, 0, M - 1)
-    hit_w = jnp.take_along_axis(store.word, pos, axis=1)  # (K,Mq)
-    hit_v = jnp.take_along_axis(store.weight, pos, axis=1)
-    q_live = (q_word[None, :] != _PAD) & (q_weight[None, :] > 0)
-    match = (hit_w == q_word[None, :]) & q_live
+    Mq = q_word.shape[0]
+    # dead query entries must never match: force their word to the pad
+    q_w = jnp.where(q_weight > 0, q_word, _PAD)
+    words = jnp.concatenate(
+        [jnp.broadcast_to(q_w[None, :], (K, Mq)), store.word], axis=1)
+    vals = jnp.concatenate(
+        [jnp.broadcast_to(q_weight[None, :], (K, Mq)), store.weight], axis=1)
+    sw, sv = jax.lax.sort((words, vals), num_keys=1, dimension=1)
+    match = (sw[:, 1:] == sw[:, :-1]) & (sw[:, 1:] != _PAD)
+    contrib = jnp.minimum(sv[:, 1:], sv[:, :-1])
     common = jnp.sum(match.astype(jnp.int32), -1)
-    scores = jnp.sum(
-        jnp.where(match, jnp.minimum(hit_v, q_weight[None, :]), 0.0), -1)
+    scores = jnp.sum(jnp.where(match, contrib, 0.0), -1)
     return common, scores
 
 
