@@ -28,7 +28,14 @@ from ..slammap import mapstate as ms
 
 
 class GBAJob:
-    """One in-flight global bundle adjustment over a map snapshot."""
+    """One in-flight global bundle adjustment over a map snapshot.
+
+    On a multi-device runtime (len(jax.devices()) > 1 and capacities
+    divisible by the device count) the job automatically runs the
+    keyframe-block sharded solver (`parallel/dist_gba.distributed_full_ba`)
+    over a device mesh — the live-system integration of SURVEY.md §5.8 /
+    BASELINE's multi-host north star. Single chip falls back to the
+    single-device implicit-Schur solver."""
 
     def __init__(self, state: ms.MapState, cam: projection.Camera,
                  inv_level_sigma2, n_iters: int = 10, robust: bool = False,
@@ -40,12 +47,26 @@ class GBAJob:
         # cg_iters=25: the block-Jacobi PCG reaches the 1e-3 relative
         # tolerance well under 25 iterations on covisibility-conditioned
         # maps; the 100-iter ceiling only burned time on the serial chip
-        self.kf_pose_gba, self.pt_pos_gba, self.cost = (
-            global_ba.full_bundle_adjustment(
-                cam, state, jnp.asarray(inv_level_sigma2),
-                n_iters=n_iters, robust=robust, cg_iters=cg_iters,
+        n_dev = len(jax.devices())
+        if (n_dev > 1 and state.kf_capacity % n_dev == 0
+                and state.pt_capacity % n_dev == 0):
+            from ..parallel import dist_gba
+
+            mesh = dist_gba.make_mesh(n_dev)
+            sharded = dist_gba.shard_map_state(state, mesh)
+            self.kf_pose_gba, self.pt_pos_gba, self.cost = (
+                dist_gba.distributed_full_ba(
+                    cam, sharded, jnp.asarray(inv_level_sigma2), mesh,
+                    n_iters=n_iters, robust=robust, cg_iters=cg_iters,
+                )
             )
-        )
+        else:
+            self.kf_pose_gba, self.pt_pos_gba, self.cost = (
+                global_ba.full_bundle_adjustment(
+                    cam, state, jnp.asarray(inv_level_sigma2),
+                    n_iters=n_iters, robust=robust, cg_iters=cg_iters,
+                )
+            )
         self.aborted = False
 
     def abort(self):
