@@ -34,12 +34,21 @@ SENTINEL = 0xDEADBEEF
 
 
 def save_map(path: str | Path, state: MapState,
-             ts_epoch: float = 0.0) -> None:
+             ts_epoch: float = 0.0, bow_store=None,
+             voc_n_words: int | None = None) -> None:
     """Write the full map state (`System::SaveMap` analogue).
 
     `ts_epoch`: the run's f64 timestamp epoch — device-side `kf_timestamp`
     holds f32 OFFSETS from it (pipeline/tracking.py `Tracker.ts_epoch`);
-    persisting it keeps absolute stamps exact across save/load."""
+    persisting it keeps absolute stamps exact across save/load.
+
+    `bow_store`: optional `vocab.database.SparseBowStore` — the per-KF BoW
+    rows. The reference REBUILDS its KeyFrameDatabase on every load
+    (`src/System.cc:162-163`; its own KeyFrameDatabase serialization exists
+    but the call is commented out, `src/System.cc:557,569`). Persisting the
+    rows (keyed by `voc_n_words` so a different vocabulary forces a
+    rebuild) skips that O(KF) transform cost for large maps — a deliberate
+    deviation matching the reference's intended-but-disabled feature."""
     arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
     meta = {
         "version": FORMAT_VERSION,
@@ -51,6 +60,10 @@ def save_map(path: str | Path, state: MapState,
         "n_pt": int(state.n_pt),
         "ts_epoch": float(ts_epoch),
     }
+    if bow_store is not None and voc_n_words is not None:
+        meta["bow_n_words"] = int(voc_n_words)
+        arrays["__bow_word__"] = np.asarray(bow_store.word)
+        arrays["__bow_weight__"] = np.asarray(bow_store.weight)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -89,6 +102,25 @@ def load_map(path: str | Path) -> MapState:
         fields["n_obs_dropped"] = np.int32(0)  # pre-telemetry checkpoints
     state = MapState(**fields)
     return jax.tree.map(jnp.asarray, state)
+
+
+def load_bow_store(path: str | Path, voc_n_words: int):
+    """Load the persisted per-KF sparse BoW rows, or None when the file
+    predates them / was written with a DIFFERENT vocabulary (word ids are
+    vocabulary-specific — a mismatch must fall back to the reference's
+    rebuild-on-load, `src/System.cc:162-163`)."""
+    with zipfile.ZipFile(Path(path), "r") as zf:
+        meta = json.loads(zf.read("__meta__.json"))
+        if meta.get("bow_n_words") != int(voc_n_words):
+            return None
+        names = set(zf.namelist())
+        if "__bow_word__.npy" not in names:
+            return None
+        word = np.load(io.BytesIO(zf.read("__bow_word__.npy")))
+        weight = np.load(io.BytesIO(zf.read("__bow_weight__.npy")))
+    from ..vocab.database import SparseBowStore
+
+    return SparseBowStore(word=jnp.asarray(word), weight=jnp.asarray(weight))
 
 
 def read_ts_epoch(path: str | Path) -> float:

@@ -19,9 +19,12 @@ NO one-hot:
   W^T x -> Hpp^-1 -> gather back to camera lanes -> W z. Gathers are fast
   vector loads on TPU; it is scatters that serialize.
 
-The reduced camera system is solved by preconditioned conjugate gradients
-with a block-Jacobi (6x6 diagonal of S) preconditioner — the "blocked PCG"
-called for by SURVEY.md §7.1-5/§7.3 for global systems. LM damping, Huber
+The reduced camera system is solved EXACTLY by chunked dense-Schur assembly
++ Cholesky for live-map keyframe counts (K <= 384, `_solve_dense` — two MXU
+einsums per LM step, no inner-iteration truncation), falling back to
+preconditioned conjugate gradients with a block-Jacobi (6x6 diagonal of S)
+preconditioner — the "blocked PCG" called for by SURVEY.md §7.1-5/§7.3 —
+for larger K and for the sharded multi-device path. LM damping, Huber
 IRLS with the reference gates, gauge fixing on keyframe slot 0
 (`src/Optimizer.cc:98-100`: setFixed(pKF->mnId==0)) and the abort flag
 (`forceStopFlag`, checked between LM iterations) all match the reference's
@@ -211,21 +214,13 @@ def _weights(chi2, ok_z, live, is2, is_st, robust):
     return jnp.where(live & ok_z, is2 * w_rob, 0.0)
 
 
-def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
-               cg_iters: int, cg_tol: float, oh: jax.Array | None = None):
-    """One damped LM step via PCG on the implicit Schur complement.
-
-    Returns (dx_cam (K,6), dx_pt (P,3)). Single point-major layout: every
-    camera-side reduction (Hcc, gc, W·z, the block-Jacobi diagonal) is a
-    one-hot contraction against `oh` over the SAME (P,O) lanes — the old
-    dual-layout form needed two row gathers per CG matvec plus a full
-    camera-major term pass, all of which lower ~1000x slower than MXU
-    contractions on this runtime (see `_onehot_po`).
+def _schur_blocks(cam, poses, pts, tb: FullBATables, robust, lam,
+                  oh: jax.Array):
+    """Shared LM-step prologue for both camera-system solvers: per-lane
+    residual blocks reduced to (Hpp_inv, W_po, WH, Hcc_d, rhs, gp, pt_has).
     """
     K = poses.shape[0]
     dtype = pts.dtype
-    if oh is None:
-        oh = _onehot_po(tb, K)
 
     # ---- point-major blocks ----
     r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(
@@ -264,6 +259,101 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     Hcc_d = Hcc + eye6 * (lam * Hcc_diag + 1e-8)[..., None]
     Hcc_d = jnp.where(tb.cam_free[:, None, None], Hcc_d, eye6[None])
 
+    # WH = W Hpp^-1 per lane; rhs = gc - W Hpp^-1 gp
+    WH = jnp.einsum("poab,pbc->poac", W_po, Hpp_inv,
+                    precision=lm.HI)  # (P,O,6,3)
+    gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
+    rhs = gc - jnp.einsum(
+        "pok,poa->ka", oh,
+        jnp.sum(W_po * gp_z[:, None, None, :], axis=-1), precision=lm.HI)
+    rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
+    return W_po, WH, Hpp_inv, Hcc_d, rhs, gp, pt_has
+
+
+def _backsub_points(tb, oh, W_po, Hpp_inv, gp, pt_has, dx_cam):
+    """dx_p = Hpp^-1 (gp - W^T dx_cam)."""
+    dx_lane = jnp.einsum("pok,ka->poa", oh, dx_cam, precision=lm.HI)
+    Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))  # (P,3)
+    dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
+    dx_pt = jnp.where((pt_has & tb.pt_valid)[:, None], dx_pt, 0.0)
+    return jnp.where(jnp.isfinite(dx_pt), dx_pt, 0.0)
+
+
+def _solve_dense(cam, poses, pts, tb: FullBATables, robust, lam,
+                 oh: jax.Array, n_chunks: int = 8):
+    """One damped LM step with the reduced camera system MATERIALIZED and
+    Cholesky-solved — exact, no inner-iteration truncation.
+
+    DESIGN: for the keyframe counts a live map holds (K <= a few hundred;
+    the reference culls keyframes aggressively, `src/LocalMapping.cc:632`),
+    the dense (6K,6K) Schur complement is small (384^2 at K=64, 1536^2 at
+    K=256) and its assembly is two MXU einsums over the point lanes — the
+    inexact-PCG path needed ~100 matvecs of the SAME lane traffic per LM
+    iteration to reach comparable accuracy (an under-capped CG cost the r4
+    bench 0.017 m vs 0.007 m keyframe ATE, tools/ate_probe.py). PCG remains
+    the fallback for K beyond dense reach and for the sharded multi-device
+    path (parallel/dist_gba.py).
+
+    The off-diagonal assembly S -= sum_p A_p B_p^T runs in `n_chunks`
+    point-chunks so the (P,K,6,3) camera stacks never materialize whole
+    (at K=256, P=64k a full stack would be ~1.2 GB).
+    """
+    K = poses.shape[0]
+    dtype = pts.dtype
+    W_po, WH, Hpp_inv, Hcc_d, rhs, gp, pt_has = _schur_blocks(
+        cam, poses, pts, tb, robust, lam, oh)
+
+    P, O = W_po.shape[:2]
+    nc = n_chunks if P % n_chunks == 0 else 1
+    pc = P // nc
+    oh_c = oh.reshape(nc, pc, O, K)
+    WH_c = WH.reshape(nc, pc, O, 6, 3)
+    W_c = W_po.reshape(nc, pc, O, 6, 3)
+
+    def chunk(S, args):
+        oh_i, WH_i, W_i = args
+        A = jnp.einsum("pok,poai->pkai", oh_i, WH_i, precision=lm.HI)
+        B = jnp.einsum("pok,poai->pkai", oh_i, W_i, precision=lm.HI)
+        S = S - jnp.einsum("pkai,plbi->kalb", A, B, precision=lm.HI)
+        return S, None
+
+    S0 = jnp.zeros((K, 6, K, 6), dtype)
+    idx = jnp.arange(K)
+    S0 = S0.at[idx, :, idx, :].set(Hcc_d)
+    S, _ = jax.lax.scan(chunk, S0, (oh_c, WH_c, W_c))
+
+    # flatten; fixed/invalid cams already have identity diagonal rows and
+    # zero couplings (their lanes carry zeroed Jc), but mask for safety
+    Sf = S.reshape(K * 6, K * 6)
+    mask = jnp.repeat(tb.cam_free, 6)
+    Sf = jnp.where(mask[:, None] & mask[None, :], Sf, 0.0)
+    Sf = Sf + jnp.diag(jnp.where(mask, 0.0, 1.0))
+    chol = jax.scipy.linalg.cho_factor(Sf, lower=True)
+    dx_cam = jax.scipy.linalg.cho_solve(chol, rhs.reshape(-1)).reshape(K, 6)
+    dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None], dx_cam,
+                       0.0)
+    dx_pt = _backsub_points(tb, oh, W_po, Hpp_inv, gp, pt_has, dx_cam)
+    return dx_cam, dx_pt
+
+
+def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
+               cg_iters: int, cg_tol: float, oh: jax.Array | None = None):
+    """One damped LM step via PCG on the implicit Schur complement.
+
+    Returns (dx_cam (K,6), dx_pt (P,3)). Single point-major layout: every
+    camera-side reduction (Hcc, gc, W·z, the block-Jacobi diagonal) is a
+    one-hot contraction against `oh` over the SAME (P,O) lanes — the old
+    dual-layout form needed two row gathers per CG matvec plus a full
+    camera-major term pass, all of which lower ~1000x slower than MXU
+    contractions on this runtime (see `_onehot_po`).
+    """
+    K = poses.shape[0]
+    dtype = pts.dtype
+    if oh is None:
+        oh = _onehot_po(tb, K)
+    W_po, WH, Hpp_inv, Hcc_d, rhs, gp, pt_has = _schur_blocks(
+        cam, poses, pts, tb, robust, lam, oh)
+
     def matvec(x):  # x (K,6) -> (K,6)
         a = jnp.sum(Hcc_d * x[:, None, :], axis=-1)  # (K,6)
         x_lane = jnp.einsum("pok,ka->poa", oh, x, precision=lm.HI)
@@ -273,17 +363,9 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
         b = jnp.einsum("pok,poa->ka", oh, contrib, precision=lm.HI)
         return a - b
 
-    # rhs = gc - W Hpp^-1 gp
-    gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
-    rhs = gc - jnp.einsum(
-        "pok,poa->ka", oh,
-        jnp.sum(W_po * gp_z[:, None, None, :], axis=-1), precision=lm.HI)
-    rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
-
     # block-Jacobi preconditioner: exact 6x6 diagonal of S (lane-local
     # W Hpp^-1 W^T, contracted to cameras)
-    WH = jnp.einsum("poab,pbc->poac", W_po, Hpp_inv,
-                    precision=lm.HI)  # (P,O,6,3)
+    eye6 = jnp.eye(6, dtype=dtype)
     WHW = jnp.einsum("poac,podc->poad", WH, W_po,
                      precision=lm.HI)  # (P,O,6,6)
     S_diag = Hcc_d - jnp.einsum("pok,poab->kab", oh, WHW, precision=lm.HI)
@@ -322,23 +404,19 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
 
     _, dx_cam, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
     dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None], dx_cam, 0.0)
-
-    # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)
-    dx_lane = jnp.einsum("pok,ka->poa", oh, dx_cam, precision=lm.HI)
-    Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))  # (P,3)
-    dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
-    dx_pt = jnp.where((pt_has & tb.pt_valid)[:, None], dx_pt, 0.0)
-    dx_pt = jnp.where(jnp.isfinite(dx_pt), dx_pt, 0.0)
+    dx_pt = _backsub_points(tb, oh, W_po, Hpp_inv, gp, pt_has, dx_cam)
     return dx_cam, dx_pt
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit,
+         static_argnames=("n_iters", "robust", "cg_iters", "solver"))
 def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
                            inv_level_sigma2: jax.Array,
                            n_iters: int = 10, robust: bool = False,
                            cg_iters: int = 100, cg_tol: float = 1e-3,
                            abort: jax.Array | None = None,
-                           fixed_mask: jax.Array | None = None):
+                           fixed_mask: jax.Array | None = None,
+                           solver: str = "auto"):
     """Full-map BA over EVERY valid keyframe and point.
 
     Parity: the loop-closing GBA runs 10 non-robust iterations
@@ -353,20 +431,27 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
     tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
     poses = state.kf_pose
     pts = state.pt_pos
+    K = poses.shape[0]
     robust_flag = jnp.asarray(robust)
     if abort is None:
         abort = jnp.asarray(False)
-    oh = _onehot_po(tb, poses.shape[0])  # one (P,O,K) build, reused all solve
+    oh = _onehot_po(tb, K)  # one (P,O,K) build, reused all solve
     cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
     free = tb.cam_free[:, None]
+    # exact dense Schur for live-map keyframe counts; PCG past dense reach
+    use_dense = solver == "dense" or (solver == "auto" and K <= 384)
 
     def body(carry, _):
         poses, pts, lam, cur = carry
 
         def step(args):
             poses, pts, lam, cur = args
-            dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
-                                  cg_iters, cg_tol, oh)
+            if use_dense:
+                dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag,
+                                        lam, oh)
+            else:
+                dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
+                                      cg_iters, cg_tol, oh)
             new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
             new_pts = pts + dxp
             new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)

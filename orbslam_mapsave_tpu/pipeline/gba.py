@@ -39,14 +39,16 @@ class GBAJob:
 
     def __init__(self, state: ms.MapState, cam: projection.Camera,
                  inv_level_sigma2, n_iters: int = 10, robust: bool = False,
-                 cg_iters: int = 30):
+                 cg_iters: int = 100):
         self.snap_n_kf = int(state.n_kf)
         self.snap_n_pt = int(state.n_pt)
         self.snap_kf_pose = state.kf_pose  # pre-GBA poses (mTcwBefGBA)
         # async dispatch: this returns device futures, not results.
-        # cg_iters=25: the block-Jacobi PCG reaches the 1e-3 relative
-        # tolerance well under 25 iterations on covisibility-conditioned
-        # maps; the 100-iter ceiling only burned time on the serial chip
+        # The single-device solver picks the exact dense-Schur path for
+        # live-map K (optim/global_ba._solve_dense) — cg_iters only caps
+        # the PCG fallback and the sharded multi-device solver. An
+        # under-capped CG (30) cost the r4 bench 0.017 m vs 0.007 m
+        # keyframe ATE (tools/ate_probe.py)
         n_dev = len(jax.devices())
         if (n_dev > 1 and state.kf_capacity % n_dev == 0
                 and state.pt_capacity % n_dev == 0):

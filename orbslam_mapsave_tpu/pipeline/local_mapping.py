@@ -209,31 +209,20 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
 FUSE_CAP = 4096  # candidate points per fuse pass
 
 
-def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
-                       cam: projection.Camera, bounds: jax.Array,
-                       scale_factors: jax.Array, inv_level_sigma2: jax.Array,
-                       n_levels: int, scale_factor: float,
-                       th: float = 3.0,
-                       prefer_candidate: bool = False) -> ms.MapState:
-    """`ORBmatcher::Fuse` into one keyframe (`src/ORBmatcher.cc:828-978`):
-    project candidate points into kf; for the best feature within
-    th*scale(predicted level) passing the chi2 gate and Hamming<=TH_LOW:
-    merge with the feature's existing point (keep the more-observed one,
-    `MapPoint::Replace`) or add a new observation.
-
-    cand_idx: (L,) unique point slots (-1 padded).
-
-    prefer_candidate=True is the loop-fusion variant
-    (`LoopClosing::SearchAndFuse`, `src/LoopClosing.cc:585-611`): the
-    keyframe's existing point is ALWAYS replaced by the loop candidate
-    (`pRep->Replace(mvpLoopMapPoints[i])`), regardless of observation count.
-    """
+def fuse_match(state: ms.MapState, kf, cand_idx: jax.Array,
+               cam: projection.Camera, bounds: jax.Array,
+               scale_factors: jax.Array, inv_level_sigma2: jax.Array,
+               n_levels: int, scale_factor: float,
+               th: float = 3.0) -> jax.Array:
+    """The MATCHING half of `ORBmatcher::Fuse` (`src/ORBmatcher.cc:
+    828-978`): project candidates into kf, per-feature best candidate
+    within th*scale passing the chi2 + Hamming<=TH_LOW gates. PURE — no
+    state mutation, so several target keyframes can be matched in one
+    batched (vmapped) pass. Returns win (N,) candidate ROW index or -1."""
     from ..ops import hamming, matching
 
     scale_factors = jnp.asarray(scale_factors)
     inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
-    L = cand_idx.shape[0]
-    P = state.pt_capacity
     safe = jnp.clip(cand_idx, 0)
     cand_ok = (cand_idx >= 0) & state.pt_valid[safe]
     pose = state.kf_pose[kf]
@@ -252,7 +241,9 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
     koct = state.kf_kp_octave[kf]
     kur = state.kf_kp_ur[kf]
     kvalid = state.kf_kp_valid[kf]
-    d2 = jnp.sum((uv[:, None, :] - kxy[None, :, :]) ** 2, -1)  # (L,N)
+    # expanded-form (L,N) distance matrix — the broadcast difference
+    # materializes (L,N,2) (67 MB at 4096x2048), see matching._pair_d2
+    d2 = matching._pair_d2(uv, kxy)
     in_win = d2 <= (radius[:, None] ** 2)
     oct_ok = (koct[None, :] >= (lvl - 1)[:, None]) & (
         koct[None, :] <= lvl[:, None]
@@ -272,15 +263,25 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
     idx, best, _ = hamming.masked_best2(dmat, extra_mask=mask)
     good = ok & (best <= hamming.TH_LOW)
     N = kxy.shape[0]
-    win = matching._resolve_conflicts(idx, best, good, N)  # (N,) cand row
+    return matching._resolve_conflicts(idx, best, good, N)  # (N,) cand row
+
+
+def fuse_apply(state: ms.MapState, kf, cand_idx: jax.Array, win: jax.Array,
+               prefer_candidate: bool = False) -> ms.MapState:
+    """The MUTATION half of Fuse: merge matched candidates with the
+    feature's existing point (keep the more-observed one,
+    `MapPoint::Replace`, `src/ORBmatcher.cc:950-955`) or add a new
+    observation. Re-validates candidates against the CURRENT state so a
+    match computed before an earlier apply (batched reverse fuse) cannot
+    resurrect a point that was merged away in between."""
     cand_pt = jnp.where(win >= 0, cand_idx[jnp.clip(win, 0)], -1)  # (N,)
+    cand_pt = jnp.where(
+        (cand_pt >= 0) & state.pt_valid[jnp.clip(cand_pt, 0)], cand_pt, -1)
     existing = state.kf_kp_point[kf]  # (N,)
     obs_cnt = jnp.sum((state.pt_obs_kf >= 0).astype(jnp.int32), -1)  # (P,)
     obs_exist = obs_cnt[jnp.clip(existing, 0)]
     obs_cand = obs_cnt[jnp.clip(cand_pt, 0)]
-    merge = (win >= 0) & (existing >= 0) & (existing != cand_pt) & (
-        cand_pt >= 0
-    )
+    merge = (cand_pt >= 0) & (existing >= 0) & (existing != cand_pt)
     # keep the more-observed point; tie keeps the candidate (ORBmatcher.cc:
     # 950-955: pMPinKF.obs > pMP.obs -> pMP replaced by pMPinKF). In the
     # loop-fusion variant the candidate (loop point) always wins.
@@ -292,18 +293,40 @@ def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
     dst = jnp.where(merge, jnp.where(keep_exist, existing, cand_pt), -1)
     state = ms.merge_points(state, src, dst, merge)
     # feature had no point: new observation
+    N = existing.shape[0]
     feat = jnp.arange(N, dtype=jnp.int32)
-    add = (win >= 0) & (existing < 0) & (cand_pt >= 0)
-    state = ms.add_observations(state, kf, cand_pt, feat, add)
-    del P, L
-    return state
+    add = (cand_pt >= 0) & (existing < 0)
+    return ms.add_observations(state, kf, cand_pt, feat, add)
+
+
+def fuse_into_keyframe(state: ms.MapState, kf, cand_idx: jax.Array,
+                       cam: projection.Camera, bounds: jax.Array,
+                       scale_factors: jax.Array, inv_level_sigma2: jax.Array,
+                       n_levels: int, scale_factor: float,
+                       th: float = 3.0,
+                       prefer_candidate: bool = False) -> ms.MapState:
+    """`ORBmatcher::Fuse` into one keyframe: match + apply.
+
+    cand_idx: (L,) unique point slots (-1 padded).
+
+    prefer_candidate=True is the loop-fusion variant
+    (`LoopClosing::SearchAndFuse`, `src/LoopClosing.cc:585-611`): the
+    keyframe's existing point is ALWAYS replaced by the loop candidate
+    (`pRep->Replace(mvpLoopMapPoints[i])`), regardless of observation count.
+    """
+    win = fuse_match(state, kf, cand_idx, cam, bounds, scale_factors,
+                     inv_level_sigma2, n_levels, scale_factor, th)
+    return fuse_apply(state, kf, cand_idx, win, prefer_candidate)
 
 
 lm_chi2_mono = 5.99  # ORBmatcher.cc:905 (Fuse mono gate)
 lm_chi2_stereo = 7.8  # ORBmatcher.cc:929 (Fuse stereo gate)
 
 
-N_CULL_TARGETS = 64  # candidate window for keyframe culling
+N_CULL_TARGETS = 32  # candidate window for keyframe culling: the top-32
+# covisibles by weight (the reference walks the new KF's covisibles,
+# `src/LocalMapping.cc:636`; windows beyond ~30 strong edges are rare, and
+# the (P,O,T) culled-observation test scales linearly with T)
 
 
 @jax.jit
@@ -502,7 +525,12 @@ class LocalMapper:
                 # direction 2 (`src/LocalMapping.cc:505-518`): push the NEW
                 # keyframe's points into each close neighbour so duplicates
                 # merge immediately instead of waiting for the neighbours'
-                # own future fuse passes
+                # own future fuse passes. Sequential per neighbour: a
+                # vmapped batch of the matching half was MEASURED SLOWER
+                # (60.5 -> 42.6 fps headline — the (R,L,N) batched
+                # intermediates triple the live set and defeat XLA's
+                # match/apply fusion, while the fori_loop body is compiled
+                # once and reused)
                 own_pts = state.kf_kp_point[kf_slot]  # (N,) — N <= FUSE_CAP
 
                 def fuse_neighbor(i, st):

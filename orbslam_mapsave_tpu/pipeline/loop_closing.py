@@ -116,7 +116,9 @@ class LoopCloser:
         self._essential_device = None  # jitted pose-graph program (lazy)
         self._sim3_device = None  # jitted ComputeSim3 program (lazy)
         self._bow_one = None  # jitted per-KF BoW program (lazy)
+        self._bow_add_one = None  # jitted BoW + store-insert program (lazy)
         self._pending_detect = None  # (kf, device future) awaiting fetch
+        self._pending_sim3 = None  # (kf, cand, device future) awaiting fetch
 
     # -- BoW bookkeeping ---------------------------------------------------
     def _ensure_store(self, state: ms.MapState):
@@ -130,6 +132,7 @@ class LoopCloser:
             # keyframe) for the same (m,) shape
             if getattr(self, "_bow_one_m", None) != m:
                 self._bow_one = None
+                self._bow_add_one = None
                 self._bow_one_m = m
 
     def _build_bow_one(self, m: int):
@@ -141,6 +144,26 @@ class LoopCloser:
             return vocabulary.sparse_bow(out["word"], out["weight"], m)
 
         return bow_one
+
+    def _build_bow_add_one(self, m: int):
+        """compute_bow + store row insert as ONE program: the eager
+        `add_keyframe_bow_sparse` pair of `.at[].set` dispatches cost
+        ~11 ms/keyframe of launch overhead on the tunnel-attached runtime
+        (measured, tools/map_split.py) vs ~0 fused here."""
+        raw = self.transform.raw
+
+        @jax.jit
+        def bow_add(tables, store: database.SparseBowStore,
+                    state: ms.MapState, kf):
+            out = raw(*tables, state.kf_desc[kf], state.kf_kp_valid[kf])
+            w, v = vocabulary.sparse_bow(out["word"], out["weight"], m)
+            store = database.SparseBowStore(
+                word=store.word.at[kf].set(w[:m]),
+                weight=store.weight.at[kf].set(v[:m]),
+            )
+            return store, w, v
+
+        return bow_add
 
     def compute_bow(self, state: ms.MapState, kf: int):
         """Sparse BoW row (words, weights) for one keyframe
@@ -202,9 +225,12 @@ class LoopCloser:
         if self.voc is None:
             return state
         self._ensure_store(state)
-        bow = self.compute_bow(state, kf)
-        self.bow_store = database.add_keyframe_bow_sparse(
-            self.bow_store, kf, *bow)
+        if getattr(self, "_bow_add_one", None) is None:
+            self._bow_add_one = self._build_bow_add_one(
+                self.bow_store.word.shape[1])
+        self.bow_store, *bow = self._bow_add_one(
+            self.transform.tables, self.bow_store, state,
+            jnp.asarray(kf, jnp.int32))
         state = self.poll_detect(state)
         # slot allocation is monotone, so the slot id bounds the KF count
         # without a device fetch (LoopClosing.cc:114-120 refractory gates)
@@ -216,8 +242,16 @@ class LoopCloser:
         return state
 
     def poll_detect(self, state: ms.MapState) -> ms.MapState:
-        """Consume a pending detection: consistency chain + Sim3 +
-        correction for the keyframe whose retrieval was enqueued last."""
+        """Consume pending detection/Sim3 stages.
+
+        Both the retrieval AND the Sim3-chain programs are fetched one
+        keyframe AFTER they were enqueued: at the fetch point the device
+        queue has drained, so neither sync stalls the pipeline, and a loop
+        event's device work splits across TWO tracking fetch windows
+        (detect+Sim3 | correct+essential+GBA) instead of piling into one.
+        This is the reference's detached-LoopClosing-thread lag
+        (`src/LoopClosing.cc:58-89`) made explicit."""
+        state = self._poll_sim3(state)
         if self._pending_detect is None:
             return state
         kf, fut = self._pending_detect
@@ -227,14 +261,35 @@ class LoopCloser:
         cand = self._detect_host(kf, fut)
         if cand is None:
             return state
-        result = self._compute_sim3(state, kf, cand)
-        if result is None:
+        if self._sim3_device is None:
+            self._sim3_device = self._build_sim3_device()
+        fut2 = self._sim3_device(
+            state, jnp.asarray(kf, jnp.int32), jnp.asarray(cand, jnp.int32),
+            jax.random.PRNGKey(kf))
+        self._pending_sim3 = (kf, cand, fut2)
+        return state
+
+    def _poll_sim3(self, state: ms.MapState) -> ms.MapState:
+        """Fetch an enqueued Sim3-chain result; on acceptance, run the
+        correction on the CURRENT map state (`CorrectLoop`'s snapshot lag —
+        the reference's loop thread also corrects a map that tracking and
+        mapping have extended since detection)."""
+        if self._pending_sim3 is None:
             return state
-        S_cur_loop, match_kf, n_inl, matched_pt, loop_pts = result
-        self.events.append(LoopEvent(kf, match_kf, n_inl))
+        kf, cand, fut = self._pending_sim3
+        self._pending_sim3 = None
+        if kf - self.last_loop_kf < REFRACTORY_KFS:
+            return state
+        out = jax.device_get(fut)
+        if not bool(out["accept"]):
+            return state
+        S_cur_loop = out["S12"]
+        matched_pt = np.asarray(out["matched_pt"])
+        loop_pts = np.asarray(out["loop_pts"])
+        self.events.append(LoopEvent(kf, cand, int(out["n2"])))
         self.last_loop_kf = kf
         self.consistent_groups.clear()
-        return self._correct_loop(state, kf, match_kf, S_cur_loop,
+        return self._correct_loop(state, kf, cand, S_cur_loop,
                                   matched_pt, loop_pts)
 
     # -- DetectLoop --------------------------------------------------------
@@ -457,6 +512,16 @@ class LoopCloser:
                     loop_pts):
             K = state.kf_capacity
             P = state.pt_capacity
+            # the Sim3 chain ran one keyframe earlier (deferred fetch);
+            # re-validate its point slots against the CURRENT state (a
+            # mapping pass may have culled some in between — slots are
+            # monotone so there is no aliasing, only soft-deletion)
+            matched_pt = jnp.where(
+                (matched_pt >= 0) & state.pt_valid[jnp.clip(matched_pt, 0)],
+                matched_pt, -1)
+            loop_pts = jnp.where(
+                (loop_pts >= 0) & state.pt_valid[jnp.clip(loop_pts, 0)],
+                loop_pts, -1)
             poses = state.kf_pose
             # window = current KF + its covisibles (:432)
             wmask = (state.covis[kf] > 0) & state.kf_valid
@@ -590,9 +655,11 @@ class LoopCloser:
         host-side bookkeeping."""
         import numpy as _np
 
-        # a pending detection's kf slot and store rows are stale after
-        # compaction: drop it (one missed retrieval, like a queue reset)
+        # a pending detection's/Sim3's kf slot and store rows are stale
+        # after compaction: drop them (one missed retrieval, like a queue
+        # reset)
         self._pending_detect = None
+        self._pending_sim3 = None
         if self.bow_store is not None:
             old_ids = _np.nonzero(new_of_old >= 0)[0]
             new_ids = new_of_old[old_ids]

@@ -131,11 +131,26 @@ class SLAMSystem:
             self.localization_only = True
             self.tracker.state = tracking.LOST
             self.tracker.disallow_kf = True
-            # rebuild the BoW database over the loaded keyframes so
-            # relocalization retrieves over the WHOLE map
-            # (`src/System.cc:155-171`)
-            if self.loop_closer is not None:
-                self.loop_closer.rebuild_store(self.map)
+            # restore the BoW database over the loaded keyframes so
+            # relocalization retrieves over the WHOLE map: persisted rows
+            # when the file carries them for THIS vocabulary, else the
+            # reference's rebuild-on-load (`src/System.cc:155-171`)
+            self._restore_bow(reuse_map_path)
+
+    def _restore_bow(self, path) -> None:
+        """Populate the loop closer's BoW store for a loaded map: persisted
+        sparse rows when available and vocabulary-compatible (deviation from
+        the reference, documented in `io.mapio.save_map`), otherwise the
+        rebuild the reference always pays (`src/System.cc:162-163`)."""
+        if self.loop_closer is None or self.loop_closer.voc is None:
+            return
+        from ..io import mapio
+
+        store = mapio.load_bow_store(path, self.loop_closer.voc.n_words)
+        if store is not None and store.word.shape[0] == self.map.kf_capacity:
+            self.loop_closer.bow_store = store
+        else:
+            self.loop_closer.rebuild_store(self.map)
 
     # ------ frame entry points (System.cc:261-490) ------
     def track_rgbd(self, image, depth, timestamp: float):
@@ -283,6 +298,7 @@ class SLAMSystem:
             self.loop_closer.consistent_groups.clear()
             self.loop_closer.events.clear()
             self.loop_closer._pending_detect = None
+            self.loop_closer._pending_sim3 = None
             from . import loop_closing as lc_mod
 
             self.loop_closer.last_loop_kf = -lc_mod.REFRACTORY_KFS - 1
@@ -293,6 +309,9 @@ class SLAMSystem:
         `isFinishedGBA` at shutdown, `src/System.cc:535-550`)."""
         if self.loop_closer is not None:
             if not self.localization_only:
+                # the detect->Sim3 chain resolves over TWO polls (each
+                # stage's fetch is deferred one keyframe); drain both
+                self.map = self.loop_closer.poll_detect(self.map)
                 self.map = self.loop_closer.poll_detect(self.map)
             self.map = self.loop_closer.poll_gba(self.map)
             self.tracker.map = self.map
@@ -306,8 +325,13 @@ class SLAMSystem:
         from ..io import mapio
 
         self.flush_gba()
-        mapio.save_map(path, self.map,
-                       ts_epoch=self.tracker.ts_epoch or 0.0)
+        lc = self.loop_closer
+        mapio.save_map(
+            path, self.map, ts_epoch=self.tracker.ts_epoch or 0.0,
+            bow_store=lc.bow_store if lc is not None else None,
+            voc_n_words=(lc.voc.n_words
+                         if lc is not None and lc.voc is not None else None),
+        )
 
     def load_map(self, path: str | Path):
         from ..io import mapio
@@ -316,10 +340,9 @@ class SLAMSystem:
         self.map = mapio.load_map(path)
         self.tracker.ts_epoch = mapio.read_ts_epoch(path)
         self.tracker.map = self.map
-        if self.loop_closer is not None:
-            # KeyFrameDatabase rebuild over the loaded map
-            # (`src/System.cc:155-171`)
-            self.loop_closer.rebuild_store(self.map)
+        # KeyFrameDatabase restore over the loaded map (`src/System.cc:
+        # 155-171`): persisted rows when compatible, else rebuild
+        self._restore_bow(path)
         # reuse mode starts LOST in localization (System.cc:90, Tracking.cc:167-171)
         self.tracker.state = tracking.LOST
         self.localization_only = True

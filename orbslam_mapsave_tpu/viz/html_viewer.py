@@ -1,0 +1,166 @@
+"""Interactive map viewer as a self-contained HTML file.
+
+The reference's Pangolin window (`src/Viewer.cc:70-513`) renders map
+points, keyframe frustums, the covisibility graph and the current camera,
+with mouse orbit/zoom. This environment has no display server, so the
+interactive equivalent is an exported HTML document: all map data is
+embedded as JSON and rendered on a <canvas> by ~150 lines of inline
+JavaScript (orbit / pan / zoom with the mouse, layer toggles for the
+point cloud, keyframes, covisibility edges, spanning tree and ground-truth
+overlay). No network access or external JS is required — the file opens in
+any browser.
+
+Content parity with `MapDrawer` (`src/MapDrawer.cc`):
+- map points (black, reference points red — here: all points, colored by
+  observation count),
+- keyframe frustums (blue wireframes, `MapDrawer.cc:117-210`),
+- covisibility graph (green lines, weight >= 100 drawn solid),
+- spanning tree (`MapDrawer.cc:180-193`),
+- current camera pose (green frustum, `MapDrawer.cc:212-251`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def export_html(state, path: str | Path, current_pose_cw=None,
+                trajectory=None, max_points: int = 20000,
+                title: str = "orbslam_mapsave_tpu map") -> Path:
+    """Write an interactive HTML view of a MapState.
+
+    trajectory: optional (T,4,4) camera->world poses drawn as a polyline.
+    """
+    valid = np.asarray(state.pt_valid)
+    pts = np.asarray(state.pt_pos)[valid]
+    obs = (np.asarray(state.pt_obs_kf) >= 0).sum(-1)[valid]
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points,
+                                              replace=False)
+        pts, obs = pts[sel], obs[sel]
+    kf_valid = np.asarray(state.kf_valid)
+    kf_ids = np.nonzero(kf_valid)[0]
+    Twc = np.linalg.inv(np.asarray(state.kf_pose)[kf_ids])
+    covis = np.asarray(state.covis)
+    parent = np.asarray(state.kf_parent)
+    edges, strong = [], []
+    slot2row = {int(s): i for i, s in enumerate(kf_ids)}
+    for i, s in enumerate(kf_ids):
+        for t in kf_ids[kf_ids > s]:
+            w = int(covis[s, t])
+            if w > 0:
+                (strong if w >= 100 else edges).append(
+                    [i, slot2row[int(t)], w])
+    tree = [[slot2row[int(parent[s])], i] for i, s in enumerate(kf_ids)
+            if parent[s] >= 0 and int(parent[s]) in slot2row]
+    data = {
+        "pts": np.round(pts, 4).tolist(),
+        "obs": obs.astype(int).tolist(),
+        "kf_centers": np.round(Twc[:, :3, 3], 4).tolist(),
+        # frustum axes: columns of Rwc scaled
+        "kf_rot": np.round(Twc[:, :3, :3], 4).tolist(),
+        "covis": edges,
+        "covis_strong": strong,
+        "tree": tree,
+        "traj": (np.round(np.asarray(trajectory)[:, :3, 3], 4).tolist()
+                 if trajectory is not None else []),
+        "cur": (np.round(np.linalg.inv(np.asarray(current_pose_cw)), 4)
+                .tolist() if current_pose_cw is not None else None),
+        "title": title,
+    }
+    html = _TEMPLATE.replace("__DATA__", json.dumps(data))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(html)
+    return path
+
+
+_TEMPLATE = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>orbslam_mapsave_tpu</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font:13px sans-serif;overflow:hidden}
+ #hud{position:fixed;top:8px;left:8px;background:#000a;padding:8px 10px;
+      border-radius:6px;user-select:none}
+ label{display:block;cursor:pointer}
+ canvas{display:block}
+</style></head><body>
+<div id="hud"><b id="ttl"></b><br>
+<label><input type="checkbox" id="cpts" checked> map points</label>
+<label><input type="checkbox" id="ckfs" checked> keyframes</label>
+<label><input type="checkbox" id="ccov" checked> covisibility</label>
+<label><input type="checkbox" id="ctree" checked> spanning tree</label>
+<label><input type="checkbox" id="ctraj" checked> trajectory</label>
+<span id="stats"></span><br><i>drag: orbit &nbsp; wheel: zoom &nbsp;
+shift-drag: pan</i></div>
+<canvas id="cv"></canvas>
+<script>
+const D=__DATA__;
+document.getElementById('ttl').textContent=D.title;
+document.getElementById('stats').textContent=
+  D.pts.length+" pts, "+D.kf_centers.length+" KFs";
+const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw();}
+addEventListener('resize',rs);
+let yaw=-0.6,pitch=0.4,dist=6,cx=0,cy=0,cz=0;
+(function(){ // center on point centroid
+ if(D.pts.length){let s=[0,0,0];for(const p of D.pts){s[0]+=p[0];s[1]+=p[1];s[2]+=p[2];}
+ cx=s[0]/D.pts.length;cy=s[1]/D.pts.length;cz=s[2]/D.pts.length;}})();
+function proj(p){
+ const sx=p[0]-cx,sy=p[1]-cy,sz=p[2]-cz;
+ const c1=Math.cos(yaw),s1=Math.sin(yaw),c2=Math.cos(pitch),s2=Math.sin(pitch);
+ const x1=c1*sx+s1*sz, z1=-s1*sx+c1*sz;
+ const y2=c2*sy-s2*z1, z2=s2*sy+c2*z1+dist;
+ if(z2<0.05)return null;
+ const f=0.9*Math.min(W,H);
+ return [W/2+f*x1/z2, H/2+f*y2/z2, z2];
+}
+function line(a,b,st,w){const pa=proj(a),pb=proj(b);if(!pa||!pb)return;
+ ctx.strokeStyle=st;ctx.lineWidth=w||1;ctx.beginPath();
+ ctx.moveTo(pa[0],pa[1]);ctx.lineTo(pb[0],pb[1]);ctx.stroke();}
+function frustum(Ctr,R,scale,st){
+ const s=scale||0.06;
+ const c=[[s,s*0.6,s*1.6],[-s,s*0.6,s*1.6],[-s,-s*0.6,s*1.6],[s,-s*0.6,s*1.6]];
+ const w=c.map(v=>[Ctr[0]+R[0][0]*v[0]+R[0][1]*v[1]+R[0][2]*v[2],
+                   Ctr[1]+R[1][0]*v[0]+R[1][1]*v[1]+R[1][2]*v[2],
+                   Ctr[2]+R[2][0]*v[0]+R[2][1]*v[1]+R[2][2]*v[2]]);
+ for(let i=0;i<4;i++){line(Ctr,w[i],st);line(w[i],w[(i+1)%4],st);}}
+function draw(){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+ if(document.getElementById('cpts').checked){
+  for(let i=0;i<D.pts.length;i++){const p=proj(D.pts[i]);if(!p)continue;
+   const o=Math.min(D.obs[i],8);
+   ctx.fillStyle='rgb('+(120+15*o)+','+(120+10*o)+',120)';
+   ctx.fillRect(p[0],p[1],1.5,1.5);}}
+ if(document.getElementById('ccov').checked){
+  for(const e of D.covis)line(D.kf_centers[e[0]],D.kf_centers[e[1]],'#2a5a2a');
+  for(const e of D.covis_strong)line(D.kf_centers[e[0]],D.kf_centers[e[1]],'#3f3',1.4);}
+ if(document.getElementById('ctree').checked)
+  for(const e of D.tree)line(D.kf_centers[e[0]],D.kf_centers[e[1]],'#888');
+ if(document.getElementById('ckfs').checked)
+  for(let i=0;i<D.kf_centers.length;i++)
+   frustum(D.kf_centers[i],D.kf_rot[i],0.06,'#48f');
+ if(document.getElementById('ctraj').checked&&D.traj.length>1)
+  for(let i=1;i<D.traj.length;i++)line(D.traj[i-1],D.traj[i],'#f84',1.5);
+ if(D.cur){const R=[[D.cur[0][0],D.cur[0][1],D.cur[0][2]],
+                   [D.cur[1][0],D.cur[1][1],D.cur[1][2]],
+                   [D.cur[2][0],D.cur[2][1],D.cur[2][2]]];
+  frustum([D.cur[0][3],D.cur[1][3],D.cur[2][3]],R,0.12,'#0f0');}
+}
+let drag=false,panning=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;panning=e.shiftKey;lx=e.clientX;ly=e.clientY;};
+onmouseup=()=>drag=false;
+onmousemove=e=>{if(!drag)return;const dx=e.clientX-lx,dy=e.clientY-ly;
+ if(panning){const c1=Math.cos(yaw),s1=Math.sin(yaw);
+  cx-=0.002*dist*(c1*dx);cz-=0.002*dist*(-s1*dx);cy-=0.002*dist*dy;}
+ else{yaw+=dx*0.008;pitch+=dy*0.008;
+  pitch=Math.max(-1.55,Math.min(1.55,pitch));}
+ lx=e.clientX;ly=e.clientY;draw();};
+cv.onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);draw();e.preventDefault();};
+for(const id of['cpts','ckfs','ccov','ctree','ctraj'])
+ document.getElementById(id).onchange=draw;
+rs();
+</script></body></html>
+"""

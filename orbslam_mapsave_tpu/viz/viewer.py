@@ -69,6 +69,21 @@ class Viewer:
         self._stopped = True
         self.system.shutdown()
 
+    def export_html(self, path="map_view.html"):
+        """Interactive 3D map view as a self-contained HTML file — the
+        orbit/zoom/pan equivalent of the Pangolin window
+        (`src/Viewer.cc:70-513`) for display-less environments."""
+        from . import html_viewer
+
+        traj = np.asarray(
+            [np.linalg.inv(p) for _, p, lost in
+             self.system.tracker.trajectory if not lost]
+        ) if self.system.tracker.ctrl is not None else None
+        return html_viewer.export_html(
+            self.system.map, path,
+            trajectory=traj if traj is not None and len(traj) else None,
+        )
+
     def set_localization_mode(self, on: bool):  # :266-277
         if on:
             self.system.activate_localization_mode()

@@ -1,7 +1,7 @@
 """Long-sequence endurance run (VERDICT r2 item 5): 1200 frames, two+
 revolutions (>= 2 loop closures), K_cap=256 / 64k points with slot
 compaction firing inside the timed region. Records frame-time percentiles,
-loop events, compactions and final keyframe ATE to docs/ENDURANCE_r3.json.
+loop events, compactions and final keyframe ATE to docs/ENDURANCE_r4.json.
 
 Run on the real TPU: python tools/endurance.py
 """
@@ -152,7 +152,7 @@ def main():
         "kf_ate_m": round(float(kf_ate), 4),
     }
     print(json.dumps(stats), flush=True)
-    out = Path(__file__).resolve().parents[1] / "docs" / "ENDURANCE_r3.json"
+    out = Path(__file__).resolve().parents[1] / "docs" / "ENDURANCE_r4.json"
     out.write_text(json.dumps(stats, indent=1))
 
 

@@ -67,3 +67,24 @@ cand = jnp.arange(4096, dtype=jnp.int32)
 f_fuse = jax.jit(lambda s: lmod.fuse_into_keyframe(
     s, kf, cand, slam.cam, bounds, sf, mapper.inv_level_sigma2, 4, 1.5))
 t("one fuse pass", lambda: f_fuse(state))
+
+# --- loop-closing per-KF cost (round 4) ---
+import bench as bench_mod2
+voc = bench_mod2.get_vocabulary(data, config_mod, system_mod)
+slam2 = bench_mod2.make_system(voc, config_mod, system_mod)
+for i, (g, d) in enumerate(frames_dev):
+    slam2.track_rgbd(g, d, 1000.0 + i / 30.0)
+slam2.tracker.flush()
+state2 = slam2.tracker.map
+lc = slam2.loop_closer
+import jax.numpy as jnp2
+kf2 = int(np.nonzero(np.asarray(state2.kf_valid))[0][-1])
+bow = lc.compute_bow(state2, kf2)
+jax.block_until_ready(bow)
+t("compute_bow", lambda: lc.compute_bow(state2, kf2))
+from orbslam_mapsave_tpu.pipeline.loop_closing import _detect_device
+t("detect_device", lambda: _detect_device(lc.bow_store, state2, bow[0],
+                                          bow[1], jnp2.asarray(kf2)))
+t("add_kf_bow_sparse", lambda: __import__(
+    'orbslam_mapsave_tpu.vocab.database', fromlist=['x']
+).add_keyframe_bow_sparse(lc.bow_store, kf2, *bow))

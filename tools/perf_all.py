@@ -115,7 +115,9 @@ def main():
         return out[0]
     t("detect device program", detect)
 
-    cand = lc._detect_loop(state, kf, bow)
+    fut = lcmod._detect_device(lc.bow_store, state, bow[0], bow[1],
+                               jnp.asarray(kf))
+    cand = lc._detect_host(kf, fut)
     print("detect candidate:", cand, flush=True)
     t0 = time.perf_counter()
     res = lc._compute_sim3(state, kf, cand) if cand is not None else None
