@@ -40,6 +40,10 @@ CONSISTENCY_TH = 3  # LoopClosing.cc:43
 REFRACTORY_KFS = 10  # LoopClosing.cc:115
 LOOP_PT_CAP = 4096  # loop-neighbourhood point window for fusion
 DETECT_TOP = 8  # candidates fetched per detection (one device round trip)
+SIM3_TRY = 3  # enough-consistent candidates geometrically verified per
+# detection — the reference round-robins ALL of them
+# (`src/LoopClosing.cc:232-302`); 3 lanes cover the observed candidate
+# counts while keeping the vmapped chain's cost bounded
 FUSE_WINDOW = 24  # window KFs fused/reconnected at a loop event (the
 # reference walks current + ALL covisibles, `src/LoopClosing.cc:432`;
 # capped to the top covisibles so the correction program has a static,
@@ -115,6 +119,7 @@ class LoopCloser:
         self._correct_device = None  # jitted correction program (lazy)
         self._essential_device = None  # jitted pose-graph program (lazy)
         self._sim3_device = None  # jitted ComputeSim3 program (lazy)
+        self._sim3_multi_device = None  # vmapped multi-candidate variant
         self._bow_one = None  # jitted per-KF BoW program (lazy)
         self._bow_add_one = None  # jitted BoW + store-insert program (lazy)
         self._pending_detect = None  # (kf, device future) awaiting fetch
@@ -258,16 +263,56 @@ class LoopCloser:
         self._pending_detect = None
         if kf - self.last_loop_kf < REFRACTORY_KFS:
             return state  # a loop closed in the meantime
-        cand = self._detect_host(kf, fut)
-        if cand is None:
+        cands = self._detect_host(kf, fut)
+        if not cands:
             return state
         if self._sim3_device is None:
             self._sim3_device = self._build_sim3_device()
-        fut2 = self._sim3_device(
-            state, jnp.asarray(kf, jnp.int32), jnp.asarray(cand, jnp.int32),
+        # the reference tries EVERY enough-consistent candidate
+        # (`LoopClosing::ComputeSim3` round-robins the candidate set until
+        # one matches, `src/LoopClosing.cc:232-302`); here the whole chain
+        # is vmapped over up to SIM3_TRY candidate lanes in one program and
+        # the best accepting lane is selected on device
+        cands = cands[:SIM3_TRY]
+        if len(cands) == 1:
+            # single-candidate fast path: the 1-lane program (multi-lane
+            # vmap costs ~SIM3_TRY x the device time)
+            fut2 = self._sim3_device(
+                state, jnp.asarray(kf, jnp.int32),
+                jnp.asarray(cands[0], jnp.int32), jax.random.PRNGKey(kf))
+            self._pending_sim3 = (kf, np.asarray(cands, np.int32), fut2)
+            return state
+        pad = np.full(SIM3_TRY, cands[0], np.int32)
+        pad[: len(cands)] = cands
+        fut2 = self._sim3_multi(
+            state, jnp.asarray(kf, jnp.int32), jnp.asarray(pad),
+            jnp.asarray(np.arange(SIM3_TRY) < len(cands)),
             jax.random.PRNGKey(kf))
-        self._pending_sim3 = (kf, cand, fut2)
+        self._pending_sim3 = (kf, pad, fut2)
         return state
+
+    def _sim3_multi(self, state, kf, cands, cand_ok, key):
+        """Vmapped Sim3 chain over the candidate lanes + device-side
+        selection of the best accepting lane."""
+        if self._sim3_multi_device is None:
+            run = self._sim3_device
+
+            @jax.jit
+            def multi(state, kf, cands, cand_ok, key):
+                keys = jax.random.split(key, cands.shape[0])
+                outs = jax.vmap(
+                    lambda c, k: run(state, kf, c, k))(cands, keys)
+                total = jnp.sum((outs["matched_pt"] >= 0).astype(jnp.int32),
+                                axis=-1)
+                score = jnp.where(outs["accept"] & cand_ok, total, -1)
+                best = jnp.argmax(score).astype(jnp.int32)
+                sel = jax.tree.map(lambda x: x[best], outs)
+                sel["accept"] = sel["accept"] & cand_ok[best]
+                sel["which"] = best
+                return sel
+
+            self._sim3_multi_device = multi
+        return self._sim3_multi_device(state, kf, cands, cand_ok, key)
 
     def _poll_sim3(self, state: ms.MapState) -> ms.MapState:
         """Fetch an enqueued Sim3-chain result; on acceptance, run the
@@ -276,13 +321,14 @@ class LoopCloser:
         mapping have extended since detection)."""
         if self._pending_sim3 is None:
             return state
-        kf, cand, fut = self._pending_sim3
+        kf, cands, fut = self._pending_sim3
         self._pending_sim3 = None
         if kf - self.last_loop_kf < REFRACTORY_KFS:
             return state
         out = jax.device_get(fut)
         if not bool(out["accept"]):
             return state
+        cand = int(cands[int(out.get("which", 0))])  # 1-lane path: lane 0
         S_cur_loop = out["S12"]
         matched_pt = np.asarray(out["matched_pt"])
         loop_pts = np.asarray(out["loop_pts"])
@@ -293,16 +339,19 @@ class LoopCloser:
                                   matched_pt, loop_pts)
 
     # -- DetectLoop --------------------------------------------------------
-    def _detect_host(self, kf: int, fut) -> int | None:
+    def _detect_host(self, kf: int, fut) -> list[int]:
+        """Consistency chaining (`LoopClosing.cc:153-226`); returns the
+        enough-consistent candidates, strongest score first (the
+        reference's mvpEnoughConsistentCandidates — ALL of them proceed to
+        geometric verification, `src/LoopClosing.cc:232-302`)."""
         top_ids, top_s, groups, has_covis = jax.device_get(fut)
         if not bool(has_covis):
-            return None
+            return []
         live = np.isfinite(top_s)
         cand_slots = top_ids[live]
         if len(cand_slots) == 0:
             self.consistent_groups.clear()
-            return None
-        # consistency chaining (LoopClosing.cc:153-226)
+            return []
         new_groups: list[tuple[set, int]] = []
         enough: list[int] = []
         scores = {}
@@ -317,10 +366,7 @@ class LoopCloser:
             if consistency >= CONSISTENCY_TH:
                 enough.append(int(c))
         self.consistent_groups = new_groups
-        if not enough:
-            return None
-        # strongest candidate by raw score
-        return int(max(enough, key=lambda c: scores[c]))
+        return sorted(enough, key=lambda c: -scores[c])
 
     # -- ComputeSim3 -------------------------------------------------------
     def _per_feature_points(self, state: ms.MapState, kf: int):

@@ -516,7 +516,11 @@ class Tracker:
             self.n_inliers = int(out.n_inliers)
         last = outs[-1]
         self.n_pt_watermark = int(last.n_pt)  # allocator high-water marks
-        self.n_kf_watermark = int(last.n_kf)  # (already fetched — no sync)
+        # ALLOCATOR watermark, not the valid count: under heavy keyframe
+        # culling (mono) the allocator can exhaust kf_capacity while the
+        # valid count sits far below the compaction trigger — keyframe
+        # creation then stops silently at the cap_ok gate (r4 mono bug)
+        self.n_kf_watermark = int(last.n_kf_alloc)
         mode = int(last.mode)
         self.state = {1: NOT_INITIALIZED, 2: OK, 3: LOST}.get(mode, mode)
         self.mb_vo = bool(last.mb_vo)

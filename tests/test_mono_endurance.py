@@ -1,0 +1,117 @@
+"""Mono endurance-lite (VERDICT r3 item 8): 300+ frames on a loop-closing
+circle, monocular bootstrap + triangulated mapping, loop closure with
+fix_scale=False so the 7-DoF pose graph's SCALE dimension is exercised on a
+live map (`src/Optimizer.cc:781-1062`, s != 1 path; `src/Sim3Solver.cc:
+292-309` free-scale Horn) — previously covered only by unit tests.
+
+Monocular scale is a gauge freedom: all ATEs are Sim3-aligned
+(`with_scale=True`). The depth channel is rendered but NEVER given to the
+system (mono sensor), so drift here is the front-end's own accumulation.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam_mapsave_tpu import config as config_mod
+from orbslam_mapsave_tpu.io import dataset, synthetic, trajectory
+from orbslam_mapsave_tpu.pipeline import system as system_mod
+from orbslam_mapsave_tpu.vocab import vocabulary
+
+W, H = 320, 240
+FX = 200.0
+N_FRAMES = 300
+T0 = 1000.0
+FPS = 30.0
+
+
+@pytest.fixture(scope="module")
+def mono_loop_seq(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mono_loop_seq")
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    poses = synthetic.circle_trajectory(N_FRAMES, radius=0.55, revs=1.35)
+    synthetic.write_tum_sequence(out, K, poses, width=W, height=H, seed=13,
+                                 depth_factor=5000.0, t0=T0, fps=FPS)
+    return {"root": out, "K": K, "poses": poses}
+
+
+def make_system(voc):
+    cfg = config_mod.SystemConfig()
+    cfg.camera = config_mod.CameraConfig(
+        fx=FX, fy=FX, cx=W / 2, cy=H / 2, width=W, height=H,
+        bf=0.0, fps=30,
+    )
+    cfg.orb = config_mod.ORBConfig(n_features=500, n_levels=4,
+                                   scale_factor=1.5)
+    cfg.max_keypoints = 640
+    cfg.max_keyframes = 80
+    cfg.max_points = 24576
+    return system_mod.SLAMSystem(
+        cfg, system_mod.Sensor.MONOCULAR, vocabulary=voc,
+        enable_loop_closing=voc is not None, enable_mapping=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_voc(mono_loop_seq):
+    sys_ = make_system(None)
+    ds = dataset.TUMDataset(mono_loop_seq["root"], depth_factor=5000.0)
+    descs = []
+    for i, (t, gray, _) in enumerate(ds):
+        if i % 14 != 0:
+            continue
+        fr = sys_.builder.build(gray, t)
+        descs.append(np.asarray(fr.desc)[np.asarray(fr.valid)])
+    return vocabulary.train(np.concatenate(descs), k=10, L=4, seed=1)
+
+
+def kf_ate_sim3(state, gt_poses, ts_epoch=T0):
+    valid = np.asarray(state.kf_valid)
+    ts = np.asarray(state.kf_timestamp, np.float64)[valid] + ts_epoch
+    est = np.linalg.inv(np.asarray(state.kf_pose)[valid])
+    gt_ts = T0 + np.arange(len(gt_poses)) / FPS
+    return trajectory.ate_rmse(gt_ts, gt_poses, ts, est, with_scale=True)
+
+
+@pytest.mark.slow
+def test_mono_endurance_loop(mono_loop_seq, trained_voc):
+    sys_ = make_system(trained_voc)
+    lc = sys_.loop_closer
+    assert lc is not None and lc.fix_scale is False  # 7-DoF path live
+
+    events = []
+    orig_correct = lc._correct_loop
+
+    def wrapped(state, kf, match_kf, S, matched_pt, loop_pts):
+        rec = {"pre": state, "S": np.asarray(S)}
+        out = orig_correct(state, kf, match_kf, S, matched_pt, loop_pts)
+        rec["post"] = lc.poll_gba(out)
+        events.append(rec)
+        return rec["post"]
+
+    lc._correct_loop = wrapped
+
+    ds = dataset.TUMDataset(mono_loop_seq["root"], depth_factor=5000.0)
+    n_ok = 0
+    for t, gray, _ in ds:
+        pose = sys_.track_monocular(gray, t)
+        n_ok += pose is not None
+    sys_.flush_gba()
+
+    assert n_ok >= 0.8 * N_FRAMES, f"tracking lost: {n_ok}/{N_FRAMES}"
+    assert sys_.n_keyframes >= 10
+    assert len(lc.events) >= 1, "no mono loop event fired"
+
+    gt = mono_loop_seq["poses"]
+    for i, rec in enumerate(events):
+        pre = kf_ate_sim3(rec["pre"], gt)
+        post = kf_ate_sim3(rec["post"], gt)
+        # correction must not materially worsen the (scale-aligned) map
+        assert post <= max(1.15 * pre, 0.03), (
+            f"mono event {i}: ATE {pre:.4f} -> {post:.4f}")
+        # the free-scale Sim3 must be a sane similarity: positive finite
+        # scale, not collapsed (fix_scale=False really was exercised)
+        s = float(np.cbrt(np.linalg.det(rec["S"][:3, :3])))
+        assert np.isfinite(s) and 0.5 < s < 2.0, f"event {i} scale {s}"
+
+    final = kf_ate_sim3(sys_.map, gt)
+    assert final < 0.08, f"final mono keyframe ATE (Sim3) {final:.4f} m"
