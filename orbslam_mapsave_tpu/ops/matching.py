@@ -82,9 +82,16 @@ def frustum_check(cam: projection.Camera, pose_cw: jax.Array,
 def _resolve_conflicts(best_feat: jax.Array, best_dist: jax.Array,
                        ok: jax.Array, n_features: int):
     """Per-feature winner among candidate rows: returns (N,) candidate index
-    or -1. Ties by distance then by candidate order."""
+    or -1. Ties by distance then by candidate order.
+
+    Scatter-free: the former `.at[safe_feat].min/.max` pair serialized
+    ~P scatter rows (~µs/row on this runtime — several ms at P=4096, and
+    this helper sits on EVERY matcher's tail, including the per-frame
+    local-map search and all Fuse passes). The segment-min over feature
+    bins runs as a masked (P,N) min-reduction instead — two fused VPU
+    passes over ~8M lanes.
+    """
     P = best_feat.shape[0]
-    safe_feat = jnp.where(ok, best_feat, n_features - 1)
     # score = dist * P + candidate_idx for deterministic argmin (hamming
     # distances are <= 256, so this fits int32 for P up to ~8M)
     sentinel = jnp.iinfo(jnp.int32).max
@@ -92,12 +99,12 @@ def _resolve_conflicts(best_feat: jax.Array, best_dist: jax.Array,
         ok, best_dist.astype(jnp.int32) * P + jnp.arange(P, dtype=jnp.int32),
         sentinel,
     )
-    feat_best = jnp.full((n_features,), sentinel, jnp.int32).at[safe_feat].min(score)
-    winner = (feat_best[safe_feat] == score) & ok
-    matched_pt_per_feat = jnp.full((n_features,), -1, jnp.int32).at[safe_feat].max(
-        jnp.where(winner, jnp.arange(P, dtype=jnp.int32), -1)
-    )
-    return matched_pt_per_feat
+    feat_ids = jnp.arange(n_features, dtype=jnp.int32)
+    oh = (best_feat[:, None] == feat_ids[None, :]) & ok[:, None]  # (P,N)
+    score_col = jnp.where(oh, score[:, None], sentinel)
+    feat_best = jnp.min(score_col, axis=0)  # (N,)
+    # winner row index = score % P of the winning score (score encodes it)
+    return jnp.where(feat_best < sentinel, feat_best % P, -1)
 
 
 def _pair_d2(uv: jax.Array, kp_xy: jax.Array) -> jax.Array:

@@ -53,6 +53,7 @@ class Relocalizer:
         self.bow_store_ref = bow_store_ref  # callable -> store or None
         self.max_candidates = max_candidates
         self._batch = self._build_batch()
+        self._dist = None  # (mesh, query) — lazy, multi-device runtimes
 
     def _build_batch(self):
         cam = self.cam
@@ -171,6 +172,31 @@ class Relocalizer:
             out = self.transform(frame.desc, frame.valid)
             q_word, q_weight = vocabulary.sparse_bow(
                 out["word"], out["weight"], store.word.shape[1])
+            # multi-device runtime: route the retrieval over the mesh
+            # (keyframe-block sharded rows, psum'd gates — SURVEY §5.8 /
+            # BASELINE "distributed relocalization queries"). Reloc fires
+            # only while LOST, so the per-call shard placement is off the
+            # steady-state path.
+            import jax as _jax
+
+            n_dev = len(_jax.devices())
+            if n_dev > 1 and store.word.shape[0] % n_dev == 0:
+                from ..parallel import dist_gba, dist_reloc
+
+                if self._dist is None or self._dist[0].devices.size != n_dev:
+                    mesh = dist_gba.make_mesh(n_dev)
+                    self._dist = (mesh, dist_reloc.make_distributed_query(
+                        mesh, top_k=self.max_candidates))
+                mesh, query = self._dist
+                store_sh = dist_reloc.shard_store(store, mesh)
+                slots, scores = query(store_sh, state.kf_valid,
+                                      q_word, q_weight)
+                slots = np.asarray(slots)
+                s = np.asarray(scores)
+                keepd = slots >= 0
+                order = np.argsort(-s[keepd])
+                return [int(c) for c in
+                        slots[keepd][order][: self.max_candidates]]
             keep, scores = database.detect_relocalization_candidates_sparse(
                 store, state, q_word, q_weight
             )

@@ -66,7 +66,7 @@ def main():
                                    scale_factor=1.5)
     cfg.max_keypoints = 2048
     cfg.max_keyframes = 256
-    cfg.max_points = 65536
+    cfg.max_points = 49152  # sized so the allocator crosses the 0.9 compaction trigger in-region
 
     # vocabulary from the bench cache sequence (same renderer) or train one
     import bench as bench_mod
