@@ -70,7 +70,8 @@ class FullBATables(NamedTuple):
 O_GBA = 16  # observation lanes per point in the full-map problem (of
 # MAX_OBS=32): rows fill front-to-back, so this drops only tail
 # observations of the rare >16-observer points while halving every (P,O)
-# lane tensor in the CG matvecs (the GBA's dominant traffic)
+# lane tensor — including the (P,O,K) one-hot, the solver's largest
+# resident tensor
 
 
 def build_tables(state: ms.MapState, inv_level_sigma2: jax.Array,

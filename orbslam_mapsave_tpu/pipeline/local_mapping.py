@@ -44,10 +44,12 @@ from ..slammap import mapstate as ms
 C_CAP = 48  # max local cameras in a BA window (covisible windows in
 # practice hold 10-30 cams; the dense Schur cost scales with C^2)
 L_CAP = 4096  # max points in a local BA window
-O_BA = 16  # observation lanes per point fed to the BA (of ms.MAX_OBS=32):
-# rows fill front-to-back, so the slice drops only the rare >16-observer
-# points' tail observations — halves every (L,O,...) lane tensor in the
-# 15-iteration LM loop
+O_BA = 8  # observation lanes per point fed to the BA (of ms.MAX_OBS=32):
+# rows fill front-to-back (holes left by culls are refilled first by
+# add_observations), and the live window's observer counts measured on the
+# bench map are p50=1 / p99=3 per point (tools: /tmp lane probe, r4) — 8
+# lanes keep headroom while halving every (L,O,...) tensor in the
+# 15-iteration LM loop (measured -7.5 ms per mapping step)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -207,6 +209,7 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
 
 
 FUSE_CAP = 4096  # candidate points per fuse pass
+N_REV_FUSE = 3  # close neighbours receiving the reverse (current->target) fuse
 
 
 def fuse_match(state: ms.MapState, kf, cand_idx: jax.Array,
@@ -525,26 +528,96 @@ class LocalMapper:
                 # direction 2 (`src/LocalMapping.cc:505-518`): push the NEW
                 # keyframe's points into each close neighbour so duplicates
                 # merge immediately instead of waiting for the neighbours'
-                # own future fuse passes. Sequential per neighbour: a
-                # vmapped batch of the matching half was MEASURED SLOWER
-                # (60.5 -> 42.6 fps headline — the (R,L,N) batched
-                # intermediates triple the live set and defeat XLA's
-                # match/apply fusion, while the fori_loop body is compiled
-                # once and reused)
+                # own future fuse passes. The per-target MATCH runs in a
+                # compiled-once fori_loop body (a vmapped batch tripled the
+                # live set and measured SLOWER); the APPLY halves are
+                # COMBINED into one merge_points + one add_observations_rows
+                # over all targets — merge_points' many (B,O)-scale passes
+                # cost ~5 ms per call, and this replaces N_REV_FUSE calls
+                # with one (pairs deduped by target priority).
                 own_pts = state.kf_kp_point[kf_slot]  # (N,) — N <= FUSE_CAP
+                n_rev = min(N_REV_FUSE, int(neigh.shape[0]))
+                N = own_pts.shape[0]
+                P = state.pt_capacity
 
-                def fuse_neighbor(i, st):
+                def match_neighbor(i, wins):
                     nb = neigh[i]
 
-                    def do(st):
-                        return fuse_into_keyframe(
-                            st, nb, own_pts, cam, bounds_, scale_factors_,
+                    def do(_):
+                        return fuse_match(
+                            state, nb, own_pts, cam, bounds_, scale_factors_,
                             inv_ls2_, n_levels, scale_factor)
 
-                    return jax.lax.cond(nb >= 0, do, lambda s: s, st)
+                    w = jax.lax.cond(nb >= 0, do,
+                                     lambda _: jnp.full((N,), -1, jnp.int32),
+                                     None)
+                    return wins.at[i].set(w)
 
-                n_rev = min(3, int(neigh.shape[0]))
-                state = jax.lax.fori_loop(0, n_rev, fuse_neighbor, state)
+                wins = jax.lax.fori_loop(
+                    0, n_rev, match_neighbor,
+                    jnp.full((n_rev, N), -1, jnp.int32))  # (R,N)
+
+                nb_rows = jnp.broadcast_to(neigh[:n_rev, None],
+                                           (n_rev, N)).reshape(-1)
+                feat_rows = jnp.broadcast_to(
+                    jnp.arange(N, dtype=jnp.int32)[None, :],
+                    (n_rev, N)).reshape(-1)
+                wflat = wins.reshape(-1)
+                cand_pt = jnp.where(wflat >= 0,
+                                    own_pts[jnp.clip(wflat, 0)], -1)
+                cand_pt = jnp.where(
+                    (cand_pt >= 0) & (nb_rows >= 0)
+                    & state.pt_valid[jnp.clip(cand_pt, 0)], cand_pt, -1)
+                existing = state.kf_kp_point[
+                    jnp.clip(nb_rows, 0), feat_rows]  # (R*N,)
+                # merge rule per pair (keep the more-observed point,
+                # ORBmatcher.cc:950-955), counts on the pre-state
+                obs_cnt = jnp.sum((state.pt_obs_kf >= 0).astype(jnp.int32),
+                                  -1)
+                mergeable = (cand_pt >= 0) & (existing >= 0) & (
+                    existing != cand_pt)
+                keep_exist = obs_cnt[jnp.clip(existing, 0)] > obs_cnt[
+                    jnp.clip(cand_pt, 0)]
+                src = jnp.where(mergeable,
+                                jnp.where(keep_exist, cand_pt, existing), -1)
+                dst = jnp.where(mergeable,
+                                jnp.where(keep_exist, existing, cand_pt), -1)
+                # dedup: one merge per src across targets (first target
+                # wins); and a pair whose dst is itself a src elsewhere is
+                # deferred to a later pass (merge_points needs src/dst
+                # disjoint within a call)
+                rows = jnp.arange(src.shape[0], dtype=jnp.int32)
+                first_of_src = jnp.full(P, 1 << 30, jnp.int32).at[
+                    jnp.where(src >= 0, src, P - 1)
+                ].min(jnp.where(src >= 0, rows, 1 << 30), mode="drop")
+                is_first = (src >= 0) & (first_of_src[
+                    jnp.clip(src, 0)] == rows)
+                src_flag = jnp.zeros(P, bool).at[jnp.clip(src, 0)].set(
+                    src >= 0)
+                # one merge per dst as well (merge_points row-writes dst's
+                # observation list; a duplicated dst would drop the loser's
+                # moved lanes while still erasing its src)
+                first_of_dst = jnp.full(P, 1 << 30, jnp.int32).at[
+                    jnp.where(dst >= 0, dst, P - 1)
+                ].min(jnp.where(dst >= 0, rows, 1 << 30), mode="drop")
+                dst_first = (dst >= 0) & (first_of_dst[
+                    jnp.clip(dst, 0)] == rows)
+                ok_pair = is_first & dst_first & ~src_flag[jnp.clip(dst, 0)]
+                src = jnp.where(ok_pair, src, -1)
+                dst = jnp.where(ok_pair, dst, -1)
+                state = ms.merge_points(state, src, dst, ok_pair)
+                # new observations where the target feature had no point;
+                # one lane per point per call (first row wins)
+                addable = (cand_pt >= 0) & (existing < 0) & \
+                    state.pt_valid[jnp.clip(cand_pt, 0)]
+                first_of_pt = jnp.full(P, 1 << 30, jnp.int32).at[
+                    jnp.where(addable, cand_pt, P - 1)
+                ].min(jnp.where(addable, rows, 1 << 30), mode="drop")
+                addable = addable & (first_of_pt[
+                    jnp.clip(cand_pt, 0)] == rows)
+                state = ms.add_observations_rows(
+                    state, nb_rows, jnp.where(addable, cand_pt, -1),
+                    feat_rows, addable)
                 # refresh fused points' descriptors/normals + connections
                 # (`src/LocalMapping.cc:521-532`)
                 own = state.kf_kp_point[kf_slot]
