@@ -37,6 +37,8 @@ def main(argv=None):
     ap.add_argument("--out", default="CameraTrajectory.txt")
     ap.add_argument("--kf-out", default="KeyFrameTrajectory.txt")
     ap.add_argument("--viewer-dir", help="write frame/map snapshots here")
+    ap.add_argument("--html-view", help="write an interactive HTML map view "
+                    "here at the end (orbit/zoom/pan in any browser)")
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -114,6 +116,16 @@ def main(argv=None):
     if args.save_map:
         slam.save_map(args.save_map)
         print(f"map saved to {args.save_map}")
+    if args.html_view:
+        from ..viz import html_viewer
+        import numpy as _np
+
+        traj = [_np.linalg.inv(p) for _, p, lost in slam.tracker.trajectory
+                if not lost]
+        html_viewer.export_html(
+            slam.map, args.html_view,
+            trajectory=_np.asarray(traj) if traj else None)
+        print(f"interactive map view written to {args.html_view}")
     slam.shutdown()
 
 
