@@ -47,7 +47,7 @@ L_CAP = 4096  # max points in a local BA window
 O_BA = 8  # observation lanes per point fed to the BA (of ms.MAX_OBS=32):
 # rows fill front-to-back (holes left by culls are refilled first by
 # add_observations), and the live window's observer counts measured on the
-# bench map are p50=1 / p99=3 per point (tools: /tmp lane probe, r4) — 8
+# bench map are p50=1 / p99=3 per point (tools/ba_lane_probe.py, r4) — 8
 # lanes keep headroom while halving every (L,O,...) tensor in the
 # 15-iteration LM loop (measured -7.5 ms per mapping step)
 
