@@ -439,7 +439,9 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
     oh = _onehot_po(tb, K)  # one (P,O,K) build, reused all solve
     cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
     free = tb.cam_free[:, None]
-    # exact dense Schur for live-map keyframe counts; PCG past dense reach
+    # "auto" thresholds on the PADDED capacity K (the only shape visible
+    # under jit); callers that know the live count should pass
+    # solver="dense"/"pcg" explicitly (pipeline/gba.GBAJob does)
     use_dense = solver == "dense" or (solver == "auto" and K <= 384)
 
     def body(carry, _):

@@ -63,10 +63,16 @@ class GBAJob:
                 )
             )
         else:
+            # pick the solver from the LIVE keyframe count host-side: the
+            # jit-side "auto" rule sees only the PADDED capacity, so a map
+            # configured with kf_capacity > 384 would silently lose the
+            # exact dense-Schur path even with a handful of live keyframes
+            solver = "dense" if self.snap_n_kf <= 384 else "pcg"
             self.kf_pose_gba, self.pt_pos_gba, self.cost = (
                 global_ba.full_bundle_adjustment(
                     cam, state, jnp.asarray(inv_level_sigma2),
                     n_iters=n_iters, robust=robust, cg_iters=cg_iters,
+                    solver=solver,
                 )
             )
         self.aborted = False

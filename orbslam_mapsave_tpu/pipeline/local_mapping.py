@@ -592,8 +592,12 @@ class LocalMapper:
                 ].min(jnp.where(src >= 0, rows, 1 << 30), mode="drop")
                 is_first = (src >= 0) & (first_of_src[
                     jnp.clip(src, 0)] == rows)
-                src_flag = jnp.zeros(P, bool).at[jnp.clip(src, 0)].set(
-                    src >= 0)
+                # scatter True only for valid rows (invalid rows route to
+                # the P sentinel slot) — a plain .set(src >= 0) would let an
+                # invalid row's False land on slot 0 and, with undefined
+                # duplicate-scatter order, erase a genuine src==0 flag
+                src_flag = jnp.zeros(P + 1, bool).at[
+                    jnp.where(src >= 0, src, P)].set(True)[:P]
                 # one merge per dst as well (merge_points row-writes dst's
                 # observation list; a duplicated dst would drop the loser's
                 # moved lanes while still erasing its src)
@@ -607,15 +611,20 @@ class LocalMapper:
                 dst = jnp.where(ok_pair, dst, -1)
                 state = ms.merge_points(state, src, dst, ok_pair)
                 # new observations where the target feature had no point;
-                # one lane per point per call (first row wins)
+                # ONE lane per (point, target-kf) — a point may join EVERY
+                # close neighbour in the same pass (reference Fuse runs once
+                # per neighbour, `src/LocalMapping.cc:505-518`); within one
+                # target the first matching feature wins
                 addable = (cand_pt >= 0) & (existing < 0) & \
                     state.pt_valid[jnp.clip(cand_pt, 0)]
-                first_of_pt = jnp.full(P, 1 << 30, jnp.int32).at[
-                    jnp.where(addable, cand_pt, P - 1)
-                ].min(jnp.where(addable, rows, 1 << 30), mode="drop")
-                addable = addable & (first_of_pt[
-                    jnp.clip(cand_pt, 0)] == rows)
-                state = ms.add_observations_rows(
+                blk = rows // N  # target block of each row
+                dupkey = jnp.where(addable, blk * P + cand_pt, n_rev * P)
+                first_of_pair = jnp.full(
+                    n_rev * P + 1, 1 << 30, jnp.int32).at[dupkey].min(
+                    jnp.where(addable, rows, 1 << 30), mode="drop")
+                addable = addable & (first_of_pair[
+                    jnp.clip(blk * P + cand_pt, 0, n_rev * P)] == rows)
+                state = ms.add_observations_rows_dup(
                     state, nb_rows, jnp.where(addable, cand_pt, -1),
                     feat_rows, addable)
                 # refresh fused points' descriptors/normals + connections

@@ -329,6 +329,13 @@ class LoopCloser:
         if not bool(out["accept"]):
             return state
         cand = int(cands[int(out.get("which", 0))])  # 1-lane path: lane 0
+        # both endpoints must still be live on the CURRENT state — a
+        # keyframe culled during the one-keyframe fetch lag would leave the
+        # correction anchored on a soft-deleted pose/covis row (mirrors the
+        # reference's isBad() re-checks, `src/LoopClosing.cc:245-251`)
+        kf_valid = np.asarray(state.kf_valid)
+        if not (bool(kf_valid[kf]) and bool(kf_valid[cand])):
+            return state
         S_cur_loop = out["S12"]
         matched_pt = np.asarray(out["matched_pt"])
         loop_pts = np.asarray(out["loop_pts"])

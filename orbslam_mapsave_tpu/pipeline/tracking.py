@@ -697,7 +697,7 @@ class Tracker:
 
         poses_gba, pts_gba, _ = global_ba.full_bundle_adjustment(
             self.cam, state, self.builder.inv_level_sigma2,
-            n_iters=20, robust=True)
+            n_iters=20, robust=True, solver="dense")
         state = state._replace(kf_pose=poses_gba, pt_pos=pts_gba)
         self.map = state
         self.state = OK

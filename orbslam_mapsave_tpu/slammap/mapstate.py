@@ -303,6 +303,62 @@ def add_observations_rows(state: MapState, kf_rows: jax.Array,
     )
 
 
+def add_observations_rows_dup(state: MapState, kf_rows: jax.Array,
+                              pt_slots: jax.Array, feat_idx: jax.Array,
+                              ok: jax.Array) -> MapState:
+    """`add_observations_rows` variant that permits REPEATED pt_slots in a
+    call: duplicate rows of one point receive DISTINCT free lanes (rank
+    within the point group via one native sort -> k-th-free-lane pick).
+    Needed by the combined reverse-fuse pass, where a point may gain an
+    observation in each of several close neighbours in the same mapping
+    step (the reference runs Fuse once per neighbour,
+    `src/LocalMapping.cc:505-518`, so nothing is dropped there).
+    (kf_rows, feat_idx) pairs must still be unique within a call."""
+    K = state.kf_capacity
+    P = state.pt_capacity
+    B = pt_slots.shape[0]
+    okk = ok & (pt_slots >= 0) & (kf_rows >= 0)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    # stable sort by point slot; rank = position within the point group
+    key = jnp.where(okk, pt_slots, P)
+    sorted_key, order = jax.lax.sort((key, idx), num_keys=1)
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_group, idx, 0))
+    rank = jnp.zeros(B, jnp.int32).at[order].set(idx - group_start)
+    # forward refs (unique (kf,feat) pairs -> plain scatter is safe)
+    safe_kf = jnp.where(okk, kf_rows, K - 1)
+    safe_ft = jnp.where(okk, feat_idx, state.n_features - 1)
+    cur = state.kf_kp_point[safe_kf, safe_ft]
+    fwd = state.kf_kp_point.at[safe_kf, safe_ft].set(
+        jnp.where(okk, pt_slots, cur)
+    )
+    # k-th free observation lane per row (k = rank within the point)
+    safe_pt = jnp.where(okk, pt_slots, P - 1)
+    obs_rows = state.pt_obs_kf[safe_pt]  # (B,MAX_OBS)
+    free = obs_rows < 0
+    cumfree = jnp.cumsum(free.astype(jnp.int32), axis=-1)
+    hit = free & (cumfree == (rank + 1)[:, None])
+    lane = jnp.argmax(hit, axis=-1)
+    okf = okk & hit.any(axis=-1)
+    pt_obs_kf = state.pt_obs_kf.at[safe_pt, lane].set(
+        jnp.where(okf, kf_rows, state.pt_obs_kf[safe_pt, lane])
+    )
+    pt_obs_idx = state.pt_obs_idx.at[safe_pt, lane].set(
+        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, lane])
+    )
+    oct_b = state.kf_kp_octave[safe_kf, safe_ft].astype(jnp.int8)
+    pt_obs_oct = state.pt_obs_oct.at[safe_pt, lane].set(
+        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, lane])
+    )
+    dropped = jnp.sum((okk & ~okf).astype(jnp.int32))
+    return state._replace(
+        kf_kp_point=fwd, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
+        pt_obs_oct=pt_obs_oct, n_obs_dropped=state.n_obs_dropped + dropped,
+    )
+
+
 def point_obs_count(state: MapState) -> jax.Array:
     """(P,) number of observations per point (MapPoint::Observations)."""
     return jnp.sum(state.pt_obs_kf >= 0, axis=-1).astype(jnp.int32)

@@ -234,3 +234,31 @@ def test_compact_points_and_keyframes(rng):
     assert int(st3.kf_parent[2]) == 1
     # observations reference remapped KF slots only
     assert np.asarray(st3.pt_obs_kf).max() < 3
+
+
+def test_add_observations_rows_dup(rng):
+    """Duplicate pt_slots in one call land in DISTINCT free lanes — the
+    combined reverse-fuse pass adds one point to several neighbours at
+    once (reference: Fuse once per neighbour, LocalMapping.cc:505-518)."""
+    st = ms.empty_map(8, 256, N_FEAT)
+    for i in range(4):
+        st, _ = ms.add_keyframe(st, jnp.eye(4), float(i), i,
+                                **make_kf_args(rng))
+    pos = jnp.zeros((3, 3), jnp.float32)
+    desc = jnp.zeros((3, 32), jnp.uint8)
+    st, slots = ms.add_points(st, pos, desc, 0, 0, jnp.ones(3, bool))
+    # point 0 joins KFs 1,2,3 (features 5,6,7); point 1 joins KF 2 only;
+    # one invalid row interleaved
+    kf_rows = jnp.asarray([1, 2, -1, 2, 3], jnp.int32)
+    pt_rows = jnp.asarray([0, 0, 0, 1, 0], jnp.int32)
+    ft_rows = jnp.asarray([5, 6, 9, 11, 7], jnp.int32)
+    ok = jnp.asarray([True, True, False, True, True])
+    st = ms.add_observations_rows_dup(st, kf_rows, pt_rows, ft_rows, ok)
+    cnt = np.asarray(ms.point_obs_count(st))
+    assert cnt[0] == 3 and cnt[1] == 1
+    obs0 = {(int(k), int(f)) for k, f in
+            zip(np.asarray(st.pt_obs_kf[0]), np.asarray(st.pt_obs_idx[0]))
+            if k >= 0}
+    assert obs0 == {(1, 5), (2, 6), (3, 7)}
+    assert int(st.kf_kp_point[2, 11]) == 1
+    assert int(st.n_obs_dropped) == 0

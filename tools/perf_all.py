@@ -117,7 +117,9 @@ def main():
 
     fut = lcmod._detect_device(lc.bow_store, state, bow[0], bow[1],
                                jnp.asarray(kf))
-    cand = lc._detect_host(kf, fut)
+    cands = lc._detect_host(kf, fut)
+    # _detect_host returns a candidate LIST; take the best for the probe
+    cand = cands[0] if cands else None
     print("detect candidate:", cand, flush=True)
     t0 = time.perf_counter()
     res = lc._compute_sim3(state, kf, cand) if cand is not None else None
