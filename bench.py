@@ -145,14 +145,48 @@ def main():
     slam.flush_gba()
     slam.reset()
 
-    t0 = time.perf_counter()
-    for i in range(N_FRAMES):
-        g, d = frames_dev[i]
-        slam.track_rgbd(g, d, 1000.0 + i / 30.0)
-    slam.tracker.flush()
-    slam.flush_gba()
-    elapsed = time.perf_counter() - t0
-    fps = N_FRAMES / elapsed
+    # R timed passes, MEDIAN is the headline (r4 postmortem: single-pass
+    # numbers on the tunnel-attached chip spanned 3.4-60 fps across reruns
+    # of identical code — one network stall landed straight in BENCH_rN).
+    # Per-pass frame stats make a stall visible and attributable: a tunnel
+    # hiccup shows up as a huge max-frame ms in exactly one pass while the
+    # other passes (and the median) stay representative of compute.
+    n_reps = int(os.environ.get("BENCH_REPS", "5"))
+    pass_stats = []
+    for rep in range(n_reps):
+        if rep:
+            slam.reset()
+        frame_ms = np.empty(N_FRAMES)
+        t0 = time.perf_counter()
+        tprev = t0
+        for i in range(N_FRAMES):
+            g, d = frames_dev[i]
+            slam.track_rgbd(g, d, 1000.0 + i / 30.0)
+            tnow = time.perf_counter()
+            frame_ms[i] = 1e3 * (tnow - tprev)
+            tprev = tnow
+        slam.tracker.flush()
+        slam.flush_gba()
+        elapsed = time.perf_counter() - t0
+        pass_stats.append({
+            "fps": N_FRAMES / elapsed,
+            "wall_s": elapsed,
+            "p50_ms": float(np.percentile(frame_ms, 50)),
+            "p99_ms": float(np.percentile(frame_ms, 99)),
+            "max_ms": float(frame_ms.max()),
+            "stalls": int((frame_ms > 500.0).sum()),
+        })
+        print(
+            f"[bench] pass {rep + 1}/{n_reps}: {pass_stats[-1]['fps']:.1f} "
+            f"fps wall={elapsed:.2f}s p50={pass_stats[-1]['p50_ms']:.2f} "
+            f"p99={pass_stats[-1]['p99_ms']:.1f} "
+            f"max={pass_stats[-1]['max_ms']:.0f}ms "
+            f"stalls>500ms={pass_stats[-1]['stalls']}",
+            file=sys.stderr,
+        )
+    all_fps = sorted(s["fps"] for s in pass_stats)
+    fps = float(np.median(all_fps))
+    elapsed = N_FRAMES / fps
 
     traj = slam.tracker.trajectory
     n_lost = sum(1 for (_, _, lost) in traj if lost)
@@ -169,7 +203,8 @@ def main():
         gt_ts = 1000.0 + np.arange(N_FRAMES) / 30.0
         kf_ate = traj_io.ate_rmse(gt_ts, data["poses"], ts, est)
     print(
-        f"[bench] frames={N_FRAMES} elapsed={elapsed:.2f}s "
+        f"[bench] frames={N_FRAMES} reps={n_reps} "
+        f"median={fps:.1f} min={all_fps[0]:.1f} max={all_fps[-1]:.1f} fps "
         f"avg_ms={1e3 * elapsed / N_FRAMES:.1f} "
         f"lost={n_lost} kfs={slam.n_keyframes} pts={slam.n_points} "
         f"loops={n_loops} kf_ate={kf_ate:.4f}m",
@@ -180,6 +215,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "fps_min": round(all_fps[0], 2),
+        "fps_max": round(all_fps[-1], 2),
+        "reps": n_reps,
     }))
 
 
