@@ -477,3 +477,56 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
     )
     poses = se3.orthonormalize(poses)
     return poses, pts, cost
+
+
+# ---------------------------------------------------------------------------
+# Incremental (abortable) form: the host owns the LM loop boundary
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("robust",))
+def gba_init(cam: projection.Camera, state: ms.MapState,
+             inv_level_sigma2: jax.Array, robust: bool = False,
+             fixed_mask: jax.Array | None = None):
+    """Snapshot the problem tables + initial cost for an incremental GBA.
+
+    Returns (tables, (poses, pts, lam, cost)) — the carry threaded through
+    `gba_iterate` calls. Splitting the LM loop into per-iteration enqueues
+    gives `mbStopGBA` parity at the DEVICE-TIME level: the reference checks
+    the stop flag between LM iterations (`src/Optimizer.cc:517-518`,
+    `src/LoopClosing.cc:604-631`); here an aborted job simply stops issuing
+    iteration programs, so the remaining ~n_iters x ~30 ms of device work
+    never serializes with tracking."""
+    tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
+    oh = _onehot_po(tb, state.kf_pose.shape[0])
+    cur0 = _accept_cost(cam, state.kf_pose, state.pt_pos, tb,
+                        jnp.asarray(robust), oh)
+    lam0 = jnp.asarray(1e-4, state.pt_pos.dtype)
+    return tb, (state.kf_pose, state.pt_pos, lam0, cur0)
+
+
+@partial(jax.jit, static_argnames=("robust", "solver", "cg_iters"))
+def gba_iterate(cam: projection.Camera, tb: FullBATables, poses, pts, lam,
+                cur, robust: bool = False, solver: str = "dense",
+                cg_iters: int = 100, cg_tol: float = 1e-3):
+    """ONE damped LM iteration of the full-map BA (same accept/damping
+    schedule as `full_bundle_adjustment`'s scan body). The (P,O,K) one-hot
+    is rebuilt inside the program (a compare+cast over lanes — cheaper than
+    keeping a quarter-GB tensor resident between enqueues)."""
+    K = poses.shape[0]
+    robust_flag = jnp.asarray(robust)
+    oh = _onehot_po(tb, K)
+    free = tb.cam_free[:, None]
+    if solver == "dense":
+        dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag, lam, oh)
+    else:
+        dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
+                              cg_iters, cg_tol, oh)
+    new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
+    new_pts = pts + dxp
+    new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
+    accept = new < cur
+    poses_ = jnp.where(accept, new_poses, poses)
+    pts_ = jnp.where(accept, new_pts, pts)
+    cur_ = jnp.where(accept, new, cur)
+    lam_ = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
+    return poses_, pts_, lam_, cur_

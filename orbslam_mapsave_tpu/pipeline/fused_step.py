@@ -64,6 +64,9 @@ class StepOutcome(NamedTuple):
     n_pt: jax.Array  # () i32 point slots allocated (allocator watermark)
     n_kf_alloc: jax.Array  # () i32 keyframe slots allocated (watermark)
     mb_vo: jax.Array  # () bool — host retries relocalization while set
+    ba_lanes_dropped: jax.Array  # () i32 in-window BA obs lanes truncated
+    # this step even after escalation (0 on non-keyframe frames)
+    ba_escalated: jax.Array  # () bool — BA rebuilt at O_BA_ESC lanes
 
 
 def initial_control_state(n_features: int, dummy_frame: frame_mod.FrameData
@@ -258,6 +261,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
 
         # ---- predicated LocalMapping pass ----
         recent_start = ctrl.recent_start
+        ba_dropped = jnp.asarray(0, jnp.int32)
+        ba_esc = jnp.asarray(False)
         if mapper is not None:
             n_pt_before = state3.n_pt
             # mbAbortBA analogue (`src/LocalMapping.cc:118`,
@@ -271,7 +276,9 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 return mapper._map_step(
                     st, kf_slot, ctrl.recent_start, abort_ba)
 
-            state3 = jax.lax.cond(do_kf, run_map, lambda st: st, state3)
+            state3, ba_dropped, ba_esc = jax.lax.cond(
+                do_kf, run_map,
+                lambda st: (st, ba_dropped, ba_esc), state3)
             recent_start = jnp.where(do_kf, n_pt_before, recent_start)
 
         vel = pose2 @ se3.se3_inv(ctrl.pose)
@@ -298,6 +305,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             n_pt=state3.n_pt,
             n_kf_alloc=state3.n_kf,
             mb_vo=ok2 & use_vo,
+            ba_lanes_dropped=ba_dropped,
+            ba_escalated=ba_esc,
         )
         return state3, ctrl2, out
 
@@ -331,6 +340,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 n_kf=jnp.sum(st.kf_valid.astype(jnp.int32)), n_pt=st.n_pt,
                 n_kf_alloc=st.n_kf,
                 mb_vo=jnp.asarray(False),
+                ba_lanes_dropped=jnp.asarray(0, jnp.int32),
+                ba_escalated=jnp.asarray(False),
             )
             return st, ctrl2, out
 
@@ -347,6 +358,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
                 n_pt=state.n_pt,
                 n_kf_alloc=state.n_kf,
                 mb_vo=jnp.asarray(False),
+                ba_lanes_dropped=jnp.asarray(0, jnp.int32),
+                ba_escalated=jnp.asarray(False),
             )
             return state, ctrl2, out
 
@@ -369,6 +382,8 @@ def make_fused_step(cam, builder: frame_mod.FrameBuilder, n_levels: int,
             n_pt=state.n_pt,
             n_kf_alloc=state.n_kf,
             mb_vo=jnp.asarray(False),
+            ba_lanes_dropped=jnp.asarray(0, jnp.int32),
+            ba_escalated=jnp.asarray(False),
         )
         return state, ctrl2, out
 

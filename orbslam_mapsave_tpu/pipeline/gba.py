@@ -43,11 +43,16 @@ class GBAJob:
         self.snap_n_kf = int(state.n_kf)
         self.snap_n_pt = int(state.n_pt)
         self.snap_kf_pose = state.kf_pose  # pre-GBA poses (mTcwBefGBA)
-        # async dispatch: this returns device futures, not results.
-        # The single-device solver picks the exact dense-Schur path for
-        # live-map K (optim/global_ba._solve_dense) — cg_iters only caps
-        # the PCG fallback and the sharded multi-device solver. An
-        # under-capped CG (30) cost the r4 bench 0.017 m vs 0.007 m
+        self.aborted = False
+        self._cam = cam
+        self._robust = robust
+        self._cg_iters = cg_iters
+        self._incremental = False
+        # async dispatch: every enqueue returns device futures, not
+        # results. The single-device solver picks the exact dense-Schur
+        # path for live-map K (optim/global_ba._solve_dense) — cg_iters
+        # only caps the PCG fallback and the sharded multi-device solver.
+        # An under-capped CG (30) cost the r4 bench 0.017 m vs 0.007 m
         # keyframe ATE (tools/ate_probe.py)
         n_dev = len(jax.devices())
         if (n_dev > 1 and state.kf_capacity % n_dev == 0
@@ -63,24 +68,47 @@ class GBAJob:
                 )
             )
         else:
-            # pick the solver from the LIVE keyframe count host-side: the
-            # jit-side "auto" rule sees only the PADDED capacity, so a map
-            # configured with kf_capacity > 384 would silently lose the
-            # exact dense-Schur path even with a handful of live keyframes
-            solver = "dense" if self.snap_n_kf <= 384 else "pcg"
-            self.kf_pose_gba, self.pt_pos_gba, self.cost = (
-                global_ba.full_bundle_adjustment(
-                    cam, state, jnp.asarray(inv_level_sigma2),
-                    n_iters=n_iters, robust=robust, cg_iters=cg_iters,
-                    solver=solver,
-                )
-            )
-        self.aborted = False
+            # INCREMENTAL: the host owns the LM loop boundary — one device
+            # program per iteration, pumped from the backend drain. abort()
+            # then stops issuing, reclaiming the remaining device time
+            # (parity with mbStopGBA checked between LM iterations,
+            # `src/LoopClosing.cc:604-631`, `src/Optimizer.cc:517-518`).
+            # Solver picked from the LIVE keyframe count host-side: the
+            # jit-side "auto" rule sees only the PADDED capacity
+            self._incremental = True
+            self._solver = "dense" if self.snap_n_kf <= 384 else "pcg"
+            self._tb, self._carry = global_ba.gba_init(
+                cam, state, jnp.asarray(inv_level_sigma2), robust=robust)
+            self.iters_left = n_iters
+
+    def pump(self, max_iters: int = 1) -> bool:
+        """Enqueue up to max_iters LM iteration programs (async, no
+        sync). Returns True while work remains."""
+        if not self._incremental or self.aborted:
+            return False
+        while self.iters_left > 0 and max_iters > 0:
+            self._carry = global_ba.gba_iterate(
+                self._cam, self._tb, *self._carry, robust=self._robust,
+                solver=self._solver, cg_iters=self._cg_iters)
+            self.iters_left -= 1
+            max_iters -= 1
+        return self.iters_left > 0
+
+    @property
+    def done(self) -> bool:
+        return self.aborted or not (self._incremental and self.iters_left > 0)
+
+    def finish(self):
+        """Issue all remaining iterations (used by flush paths)."""
+        if self._incremental and not self.aborted:
+            self.pump(max_iters=self.iters_left)
 
     def abort(self):
-        """`mbStopGBA` analogue: drop the result (the device work itself is
-        already enqueued; we simply never apply it)."""
+        """`mbStopGBA` analogue: stop issuing iteration programs (the
+        un-issued device time is reclaimed) and drop the result."""
         self.aborted = True
+        if self._incremental:
+            self.iters_left = 0
 
     def apply(self, state: ms.MapState) -> ms.MapState:
         """Merge the finished GBA into the current (possibly grown) map.
@@ -101,6 +129,12 @@ class GBAJob:
         """
         if self.aborted:
             return state
+        if self._incremental:
+            self.finish()
+            poses, pts, _, self.cost = self._carry
+            # f32 exp()@pose chains drift off SO(3) (see se3.orthonormalize)
+            self.kf_pose_gba = se3.orthonormalize(poses)
+            self.pt_pos_gba = pts
         return _apply_device(
             state, self.kf_pose_gba, self.pt_pos_gba,
             jnp.asarray(self.snap_n_kf, jnp.int32),

@@ -50,6 +50,9 @@ O_BA = 8  # observation lanes per point fed to the BA (of ms.MAX_OBS=32):
 # bench map are p50=1 / p99=3 per point (tools/ba_lane_probe.py, r4) — 8
 # lanes keep headroom while halving every (L,O,...) tensor in the
 # 15-iteration LM loop (measured -7.5 ms per mapping step)
+O_BA_ESC = 16  # escalated lane count: when any in-window observation
+# lives beyond lane O_BA (post-loop fused points), the BA problem is
+# rebuilt at this width so the constraints are kept (see LocalMapper._ba)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -75,10 +78,9 @@ def recent_point_culling(state: ms.MapState, recent_mask: jax.Array,
     return ms.erase_points(state, bad)
 
 
-def build_local_ba_problem(state: ms.MapState, kf_slot,
-                           cam: projection.Camera,
-                           inv_level_sigma2: jax.Array):
-    """Gather the covisibility window into a fixed-shape BAProblem.
+def build_ba_window(state: ms.MapState, kf_slot):
+    """Select the BA window (cameras + local points), without the
+    observation table — shared by the base and the escalated lane counts.
 
     Window selection parity with `src/Optimizer.cc:456-504`:
     - local (free) cams: kf_slot + all covisible KFs (weight > 0), capped;
@@ -86,7 +88,6 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
     - fixed cams: any other KF observing a local point; slot 0 is always
       fixed if present (the reference fixes KF id 0, `Optimizer.cc:510-512`).
     """
-    inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
     K = state.kf_capacity
     ncap = min(C_CAP, K)
 
@@ -140,11 +141,32 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
     slot2cam = jnp.full(K, -1, jnp.int32).at[
         jnp.where(cam_ok, cam_slots, K - 1)
     ].set(jnp.where(cam_ok, jnp.arange(C, dtype=jnp.int32), -1), mode="drop")
+    return dict(cam_slots=cam_slots, cam_is_fixed=cam_is_fixed,
+                cam_ok=cam_ok, lidx=lidx, l_ok=l_ok, slot2cam=slot2cam)
 
-    # observation table: map pt_obs_kf to local cam idx; fetch uv/ur/sigma.
-    # O_BA front lanes only (rows fill front-to-back; see O_BA above)
-    o_kf = state.pt_obs_kf[:, :O_BA][jnp.clip(lidx, 0)]
-    o_ix = state.pt_obs_idx[:, :O_BA][jnp.clip(lidx, 0)]
+
+def count_truncated_ba_lanes(state: ms.MapState, win: dict,
+                             n_lanes: int) -> jax.Array:
+    """Observations of window points in lanes >= n_lanes whose observing
+    KF is a window camera — constraints the reference's LocalBA would
+    consume (`src/Optimizer.cc:507-556`) but an n_lanes-truncated problem
+    drops. The `n_obs_dropped` analogue for O_BA (VERDICT r4 weak #3)."""
+    lidx, l_ok, slot2cam = win["lidx"], win["l_ok"], win["slot2cam"]
+    o_kf = state.pt_obs_kf[:, n_lanes:][jnp.clip(lidx, 0)]
+    ok = l_ok[:, None] & (o_kf >= 0) & (slot2cam[jnp.clip(o_kf, 0)] >= 0)
+    return jnp.sum(ok.astype(jnp.int32))
+
+
+def assemble_ba_obs(state: ms.MapState, win: dict,
+                    inv_level_sigma2: jax.Array,
+                    n_lanes: int) -> local_ba.BAProblem:
+    """Build the BAProblem observation table over the first n_lanes
+    observation lanes (rows fill front-to-back; see O_BA above)."""
+    inv_level_sigma2 = jnp.asarray(inv_level_sigma2)
+    cam_slots, lidx, l_ok = win["cam_slots"], win["lidx"], win["l_ok"]
+    slot2cam = win["slot2cam"]
+    o_kf = state.pt_obs_kf[:, :n_lanes][jnp.clip(lidx, 0)]
+    o_ix = state.pt_obs_idx[:, :n_lanes][jnp.clip(lidx, 0)]
     o_ok = l_ok[:, None] & (o_kf >= 0)
     o_cam = jnp.where(o_ok, slot2cam[jnp.clip(o_kf, 0)], -1)
     o_ok = o_ok & (o_cam >= 0)
@@ -152,11 +174,10 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
     ur = state.kf_kp_ur[jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)]
     octv = state.kf_kp_octave[jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)]
     is2 = inv_level_sigma2[jnp.clip(octv, 0, inv_level_sigma2.shape[0] - 1)]
-
-    prob = local_ba.BAProblem(
+    return local_ba.BAProblem(
         cam_pose=state.kf_pose[jnp.clip(cam_slots, 0)],
-        cam_fixed=cam_is_fixed,
-        cam_valid=cam_ok,
+        cam_fixed=win["cam_is_fixed"],
+        cam_valid=win["cam_ok"],
         pt_pos=state.pt_pos[jnp.clip(lidx, 0)],
         pt_valid=l_ok,
         obs_cam=o_cam,
@@ -165,7 +186,18 @@ def build_local_ba_problem(state: ms.MapState, kf_slot,
         obs_inv_sigma2=is2,
         obs_valid=o_ok,
     )
-    return prob, cam_slots, lidx
+
+
+def build_local_ba_problem(state: ms.MapState, kf_slot,
+                           cam: projection.Camera,
+                           inv_level_sigma2: jax.Array,
+                           n_lanes: int = O_BA):
+    """Gather the covisibility window into a fixed-shape BAProblem
+    (window selection + observation table; see build_ba_window)."""
+    del cam  # kept for API compatibility with existing tools
+    win = build_ba_window(state, kf_slot)
+    prob = assemble_ba_obs(state, win, inv_level_sigma2, n_lanes)
+    return prob, win["cam_slots"], win["lidx"]
 
 
 def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
@@ -459,6 +491,7 @@ class LocalMapper:
             else (20 if is_mono else 10)
         )
         self.recent_start = None  # device scalar: first "recent" point slot
+        self.ba_lane_log = []  # (dropped, escalated) device scalars per step
         self.triangulate_pair = None
         if scale_factors is None:
             scale_factors = _np.asarray(
@@ -482,11 +515,32 @@ class LocalMapper:
         inv_ls2_ = self.inv_level_sigma2
 
         def _ba(state, kf_slot, abort):
-            prob, cam_slots, lidx = build_local_ba_problem(
-                state, kf_slot, cam, self.inv_level_sigma2
-            )
-            res = local_ba.local_bundle_adjustment(cam, prob, abort=abort)
-            return apply_ba_result(state, res, cam_slots, lidx, prob)
+            """Local BA with lane-truncation telemetry + auto-escalation:
+            the O_BA-lane window drops no constraints on ordinary maps
+            (p50=1/p99=3 observers, tools/ba_lane_probe.py), but post-loop
+            fused points can exceed it — when ANY in-window observation
+            lives beyond lane O_BA, the problem is rebuilt at O_BA_ESC
+            lanes (the reference consumes ALL observations of window
+            points, `src/Optimizer.cc:507-556`). Returns
+            (state, n_lanes_dropped, escalated)."""
+            win = build_ba_window(state, kf_slot)
+            drop_base = count_truncated_ba_lanes(state, win, O_BA)
+            drop_esc = count_truncated_ba_lanes(state, win, O_BA_ESC)
+
+            def run(n_lanes):
+                def f(st):
+                    prob = assemble_ba_obs(st, win, self.inv_level_sigma2,
+                                           n_lanes)
+                    res = local_ba.local_bundle_adjustment(cam, prob,
+                                                           abort=abort)
+                    return apply_ba_result(st, res, win["cam_slots"],
+                                           win["lidx"], prob)
+                return f
+
+            escalate = drop_base > 0
+            state = jax.lax.cond(escalate, run(O_BA_ESC), run(O_BA), state)
+            dropped = jnp.where(escalate, drop_esc, 0)
+            return state, dropped, escalate
 
         self._ba = jax.jit(_ba)
 
@@ -638,14 +692,17 @@ class LocalMapper:
                 state = ms.update_connections(state, kf_slot)
 
             def run_ba(state):
-                state = _ba(state, kf_slot, abort)
+                state, dropped, esc = _ba(state, kf_slot, abort)
                 if enable_culling_:
                     state = keyframe_culling(state, kf_slot)
-                return state
+                return state, dropped, esc
 
             n_kf = jnp.sum(state.kf_valid.astype(jnp.int32))
-            state = jax.lax.cond(n_kf > 2, run_ba, lambda s: s, state)
-            return state
+            state, ba_dropped, ba_esc = jax.lax.cond(
+                n_kf > 2, run_ba,
+                lambda s: (s, jnp.asarray(0, jnp.int32),
+                           jnp.asarray(False)), state)
+            return state, ba_dropped, ba_esc
 
         self._map_step = _map_step
 
@@ -655,10 +712,24 @@ class LocalMapper:
         (`LocalMapping::Run` body, `src/LocalMapping.cc:47-112`)."""
         if self.recent_start is None:
             self.recent_start = jnp.asarray(0, jnp.int32)
-        new_state = self._map_step(
+        new_state, ba_dropped, ba_esc = self._map_step(
             state, jnp.asarray(kf_slot, jnp.int32), self.recent_start,
             jnp.asarray(abort),
         )
+        # device scalars appended without sync; summed at report time
+        self.ba_lane_log.append((ba_dropped, ba_esc))
         # advance the recent window: points older than ~3 KFs leave
         self.recent_start = state.n_pt
         return new_state
+
+    def ba_lane_stats(self) -> tuple[int, int]:
+        """(total BA-dropped observation lanes, escalated-step count) over
+        every mapping step logged so far — the O_BA analogue of
+        `MapState.n_obs_dropped` (fetches the logged device scalars)."""
+        import numpy as _np
+
+        if not self.ba_lane_log:
+            return 0, 0
+        vals = jax.device_get(self.ba_lane_log)
+        return (int(sum(int(_np.asarray(d)) for d, _ in vals)),
+                int(sum(int(_np.asarray(e)) for _, e in vals)))

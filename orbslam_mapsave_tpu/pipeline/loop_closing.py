@@ -737,12 +737,25 @@ class LoopCloser:
             self.last_loop_kf = remap.get(self.last_loop_kf,
                                           -REFRACTORY_KFS - 1)
 
-    def poll_gba(self, state: ms.MapState) -> ms.MapState:
-        """Apply a finished GBA job (the reference joins the GBA thread and
-        propagates corrections, `LoopClosing.cc:643-786`)."""
+    def poll_gba(self, state: ms.MapState,
+                 force: bool = False) -> ms.MapState:
+        """Pump the incremental GBA job (a couple of LM-iteration enqueues
+        per call — the host owns the loop boundary, so an abort() between
+        polls stops issuing and reclaims the remaining device time), and
+        apply it once every iteration is issued (the reference joins the
+        GBA thread and propagates corrections, `LoopClosing.cc:643-786`).
+        force=True finishes all remaining iterations now (shutdown/save
+        paths, `isFinishedGBA` blocking in `src/System.cc:535-550`)."""
         if self.pending_gba is None:
             return state
-        job, self.pending_gba = self.pending_gba, None
+        job = self.pending_gba
+        if force:
+            job.finish()
+        else:
+            job.pump(max_iters=2)
+        if not job.done:
+            return state
+        self.pending_gba = None
         return job.apply(state)
 
     def _build_essential_device(self):

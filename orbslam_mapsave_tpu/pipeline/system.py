@@ -189,13 +189,12 @@ class SLAMSystem:
             self.tracker.new_kf_slots.clear()
             self.tracker.host_kf_slots.clear()
             return
-        # a finished global-BA job merges before new keyframes are
-        # processed (the reference's GBA thread joins + propagates,
-        # `src/LoopClosing.cc:643-786`; by applying on the NEXT backend
-        # drain, keyframes created since the loop event take the
-        # spanning-tree propagation path)
+        # pump/apply the incremental global-BA job every frame (the
+        # reference's GBA thread runs concurrently and joins when done,
+        # `src/LoopClosing.cc:643-786`; keyframes created since the loop
+        # event take the spanning-tree propagation path at apply time)
         if self.loop_closer is not None and (
-            self.tracker.host_kf_slots or self.tracker.new_kf_slots
+            self.loop_closer.pending_gba is not None
         ):
             self.map = self.loop_closer.poll_gba(self.map)
         # host-created KFs (monocular bootstrap) still need a mapping pass
@@ -288,8 +287,11 @@ class SLAMSystem:
         # frames after reset (ADVICE r2)
         self.tracker.n_pt_watermark = 0
         self.tracker.n_kf_watermark = 0
+        self.tracker.ba_lanes_dropped = 0
+        self.tracker.ba_escalations = 0
         if self.mapper is not None:
             self.mapper.recent_start = None
+            self.mapper.ba_lane_log.clear()
         if self.loop_closer is not None:
             if self.loop_closer.pending_gba is not None:
                 self.loop_closer.pending_gba.abort()
@@ -313,7 +315,7 @@ class SLAMSystem:
                 # stage's fetch is deferred one keyframe); drain both
                 self.map = self.loop_closer.poll_detect(self.map)
                 self.map = self.loop_closer.poll_detect(self.map)
-            self.map = self.loop_closer.poll_gba(self.map)
+            self.map = self.loop_closer.poll_gba(self.map, force=True)
             self.tracker.map = self.map
 
     def shutdown(self):

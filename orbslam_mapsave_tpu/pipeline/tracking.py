@@ -490,6 +490,10 @@ class Tracker:
         self.needs_reset = False  # lost-after-init ladder (Tracking.cc:712-718)
         self.n_pt_watermark = 0
         self.n_kf_watermark = 0
+        # O_BA truncation telemetry (VERDICT r4 weak #3): lanes the local
+        # BA dropped even after O_BA_ESC escalation, and escalation count
+        self.ba_lanes_dropped = 0
+        self.ba_escalations = 0
 
     # ---- deferred outcome handling ----------------------------------
     @property
@@ -514,6 +518,8 @@ class Tracker:
             if bool(out.kf_created):
                 self.new_kf_slots.append(int(out.kf_slot))
             self.n_inliers = int(out.n_inliers)
+            self.ba_lanes_dropped += int(out.ba_lanes_dropped)
+            self.ba_escalations += int(out.ba_escalated)
         last = outs[-1]
         self.n_pt_watermark = int(last.n_pt)  # allocator high-water marks
         # ALLOCATOR watermark, not the valid count: under heavy keyframe

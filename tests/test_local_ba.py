@@ -124,3 +124,64 @@ def test_abort_skips_phase_b(rng):
     res_abort = local_ba.local_bundle_adjustment(cam, prob, abort=jnp.asarray(True))
     # aborted run stops after phase A: strictly fewer iterations of progress
     assert float(res_abort.chi2) >= float(res_full.chi2) - 1e-6
+
+
+def test_ba_lane_escalation(rng):
+    """A (loop-fused) point with 12 in-window observers keeps its BA
+    constraints: the O_BA=8 truncated window escalates to O_BA_ESC=16
+    lanes, so nothing is dropped (reference LocalBA consumes ALL
+    observations of window points, `src/Optimizer.cc:507-556`)."""
+    import jax
+    from orbslam_mapsave_tpu.pipeline import local_mapping as lmod
+    from orbslam_mapsave_tpu.slammap import mapstate as ms
+
+    cam = projection.Camera.create(320.0, 320.0, 320.0, 240.0, bf=12.8)
+    n_kf, n_feat = 14, 32
+    st = ms.empty_map(16, 256, n_feat)
+    kp = dict(
+        kp_xy=jnp.asarray(rng.uniform(100, 500, (n_feat, 2)), jnp.float32),
+        kp_ur=jnp.full((n_feat,), -1.0, jnp.float32),
+        kp_depth=jnp.asarray(rng.uniform(0.5, 3, (n_feat,)), jnp.float32),
+        kp_octave=jnp.zeros((n_feat,), jnp.int32),
+        kp_angle=jnp.zeros((n_feat,), jnp.float32),
+        kp_valid=jnp.ones((n_feat,), bool),
+        desc=jnp.asarray(rng.integers(0, 256, (n_feat, 32)), jnp.uint8),
+    )
+    for i in range(n_kf):
+        st, _ = ms.add_keyframe(st, jnp.eye(4), float(i), i, **kp)
+    pos = jnp.asarray(rng.normal(size=(20, 3)) + np.array([0, 0, 5.0]),
+                      jnp.float32)
+    st, slots = ms.add_points(st, pos, jnp.zeros((20, 32), jnp.uint8),
+                              0, 0, jnp.ones(20, bool))
+    # point 0: observed by 12 keyframes (lanes 0..11); the rest: 2 each
+    for k in range(12):
+        st = ms.add_observations(st, k, slots[:1], jnp.asarray([k]),
+                                 jnp.ones(1, bool))
+    for k in range(2):
+        st = ms.add_observations(st, k, slots[1:], 12 + jnp.arange(19),
+                                 jnp.ones(19, bool))
+    # make KFs 0..11 covisible with the current KF 13
+    covis = st.covis
+    for k in range(13):
+        covis = covis.at[13, k].set(30).at[k, 13].set(30)
+    st = st._replace(covis=covis)
+
+    win = lmod.build_ba_window(st, jnp.asarray(13, jnp.int32))
+    drop8 = int(lmod.count_truncated_ba_lanes(st, win, lmod.O_BA))
+    drop16 = int(lmod.count_truncated_ba_lanes(st, win, lmod.O_BA_ESC))
+    assert drop8 == 4  # lanes 8..11 of point 0 beyond the O_BA window
+    assert drop16 == 0  # escalated width keeps 100% of the constraints
+
+    # the escalated problem really carries all 12 observations
+    inv2 = np.ones(4, np.float32)
+    prob16 = lmod.assemble_ba_obs(st, win, inv2, lmod.O_BA_ESC)
+    l = int(np.nonzero(np.asarray(win["lidx"]) == int(slots[0]))[0][0])
+    assert int(np.asarray(prob16.obs_valid[l]).sum()) == 12
+
+    # end-to-end through the mapper's BA: escalation fires, drops nothing
+    mapper = lmod.LocalMapper(cam, inv2, enable_triangulation=False,
+                              enable_culling=False)
+    st2, dropped, esc = mapper._ba(st, jnp.asarray(13, jnp.int32),
+                                   jnp.asarray(False))
+    assert bool(esc) and int(dropped) == 0
+    assert np.isfinite(np.asarray(st2.kf_pose)).all()

@@ -84,7 +84,7 @@ def test_mono_endurance_loop(mono_loop_seq, trained_voc):
     def wrapped(state, kf, match_kf, S, matched_pt, loop_pts):
         rec = {"pre": state, "S": np.asarray(S)}
         out = orig_correct(state, kf, match_kf, S, matched_pt, loop_pts)
-        rec["post"] = lc.poll_gba(out)
+        rec["post"] = lc.poll_gba(out, force=True)
         events.append(rec)
         return rec["post"]
 

@@ -102,8 +102,9 @@ def test_multi_loop_quality(multi_loop_seq, trained_voc):
                "S": np.asarray(S)}
         out = orig_correct(state, kf, match_kf, S, matched_pt, loop_pts)
         # fold the async GBA into the recorded post state so the per-event
-        # ATE measures the full correction chain
-        rec["post"] = lc.poll_gba(out)
+        # ATE measures the full correction chain (force: the incremental
+        # job issues its remaining LM iterations now)
+        rec["post"] = lc.poll_gba(out, force=True)
         events.append(rec)
         return rec["post"]
 

@@ -150,9 +150,13 @@ def main():
         "keyframes": int(valid.sum()),
         "points": int(np.asarray(slam.map.pt_valid).sum()),
         "kf_ate_m": round(float(kf_ate), 4),
+        # O_BA truncation telemetry (VERDICT r4 weak #3): lanes lost even
+        # after O_BA_ESC escalation must stay 0
+        "ba_lanes_dropped": slam.tracker.ba_lanes_dropped,
+        "ba_escalations": slam.tracker.ba_escalations,
     }
     print(json.dumps(stats), flush=True)
-    out = Path(__file__).resolve().parents[1] / "docs" / "ENDURANCE_r4.json"
+    out = Path(__file__).resolve().parents[1] / "docs" / "ENDURANCE_r5.json"
     out.write_text(json.dumps(stats, indent=1))
 
 
