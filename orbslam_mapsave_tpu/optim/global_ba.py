@@ -501,32 +501,52 @@ def gba_init(cam: projection.Camera, state: ms.MapState,
     cur0 = _accept_cost(cam, state.kf_pose, state.pt_pos, tb,
                         jnp.asarray(robust), oh)
     lam0 = jnp.asarray(1e-4, state.pt_pos.dtype)
-    return tb, (state.kf_pose, state.pt_pos, lam0, cur0)
+    # final carry element: small-gain streak counter (device-side early
+    # stop — host fetches, even is_ready(), cost a tunnel round trip)
+    return tb, (state.kf_pose, state.pt_pos, lam0, cur0,
+                jnp.asarray(0, jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("robust", "solver", "cg_iters"))
 def gba_iterate(cam: projection.Camera, tb: FullBATables, poses, pts, lam,
-                cur, robust: bool = False, solver: str = "dense",
-                cg_iters: int = 100, cg_tol: float = 1e-3):
+                cur, small, robust: bool = False, solver: str = "dense",
+                cg_iters: int = 100, cg_tol: float = 1e-3,
+                rtol: float = 1e-5):
     """ONE damped LM iteration of the full-map BA (same accept/damping
     schedule as `full_bundle_adjustment`'s scan body). The (P,O,K) one-hot
     is rebuilt inside the program (a compare+cast over lanes — cheaper than
-    keeping a quarter-GB tensor resident between enqueues)."""
+    keeping a quarter-GB tensor resident between enqueues).
+
+    `small` counts consecutive < rtol-gain steps; once it reaches 2 the
+    program passes the carry through untouched — device-side convergence
+    (the host never fetches; a fetch costs a tunnel round trip)."""
     K = poses.shape[0]
     robust_flag = jnp.asarray(robust)
-    oh = _onehot_po(tb, K)
-    free = tb.cam_free[:, None]
-    if solver == "dense":
-        dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag, lam, oh)
-    else:
-        dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
-                              cg_iters, cg_tol, oh)
-    new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
-    new_pts = pts + dxp
-    new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
-    accept = new < cur
-    poses_ = jnp.where(accept, new_poses, poses)
-    pts_ = jnp.where(accept, new_pts, pts)
-    cur_ = jnp.where(accept, new, cur)
-    lam_ = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
-    return poses_, pts_, lam_, cur_
+
+    def step(args):
+        poses, pts, lam, cur, small = args
+        oh = _onehot_po(tb, K)
+        free = tb.cam_free[:, None]
+        if solver == "dense":
+            dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag, lam,
+                                    oh)
+        else:
+            dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
+                                  cg_iters, cg_tol, oh)
+        new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
+        new_pts = pts + dxp
+        new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
+        accept = new < cur
+        # small gains count only on ACCEPTED steps (a rejection adapts
+        # lambda and retries; see local_ba._run_phase)
+        gain_small = accept & ((cur - new) < rtol * cur)
+        small_ = jnp.where(gain_small, small + 1,
+                           jnp.where(accept, 0, small))
+        poses_ = jnp.where(accept, new_poses, poses)
+        pts_ = jnp.where(accept, new_pts, pts)
+        cur_ = jnp.where(accept, new, cur)
+        lam_ = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e8)
+        return poses_, pts_, lam_, cur_, small_
+
+    return jax.lax.cond(small >= 2, lambda a: a, step,
+                        (poses, pts, lam, cur, small))

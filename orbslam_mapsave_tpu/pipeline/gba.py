@@ -83,7 +83,11 @@ class GBAJob:
 
     def pump(self, max_iters: int = 1) -> bool:
         """Enqueue up to max_iters LM iteration programs (async, no
-        sync). Returns True while work remains."""
+        sync — NO host fetches; even `is_ready()` costs a ~44 ms tunnel
+        round trip on this runtime). Convergence is handled ON DEVICE: the
+        carry's stop flag turns later iterations into pass-throughs (g2o's
+        LM terminates on negligible gain too). Returns True while work
+        remains."""
         if not self._incremental or self.aborted:
             return False
         while self.iters_left > 0 and max_iters > 0:
@@ -131,7 +135,7 @@ class GBAJob:
             return state
         if self._incremental:
             self.finish()
-            poses, pts, _, self.cost = self._carry
+            poses, pts, _, self.cost, _ = self._carry
             # f32 exp()@pose chains drift off SO(3) (see se3.orthonormalize)
             self.kf_pose_gba = se3.orthonormalize(poses)
             self.pt_pos_gba = pts

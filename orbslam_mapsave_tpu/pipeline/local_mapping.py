@@ -527,18 +527,28 @@ class LocalMapper:
             drop_base = count_truncated_ba_lanes(state, win, O_BA)
             drop_esc = count_truncated_ba_lanes(state, win, O_BA_ESC)
 
+            # the cond's branch I/O carries ONLY the arrays BA writes
+            # (branches close over `state` for reads): routing the whole
+            # MapState through lax.cond makes every table part of the
+            # branch signature, forcing per-branch copies of unchanged
+            # buffers
+            _BA_FIELDS = ("kf_pose", "pt_pos", "kf_kp_point", "pt_obs_kf",
+                          "pt_obs_idx")
+
             def run(n_lanes):
-                def f(st):
-                    prob = assemble_ba_obs(st, win, self.inv_level_sigma2,
+                def f(_):
+                    prob = assemble_ba_obs(state, win, self.inv_level_sigma2,
                                            n_lanes)
                     res = local_ba.local_bundle_adjustment(cam, prob,
                                                            abort=abort)
-                    return apply_ba_result(st, res, win["cam_slots"],
-                                           win["lidx"], prob)
+                    st2 = apply_ba_result(state, res, win["cam_slots"],
+                                          win["lidx"], prob)
+                    return tuple(getattr(st2, fld) for fld in _BA_FIELDS)
                 return f
 
             escalate = drop_base > 0
-            state = jax.lax.cond(escalate, run(O_BA_ESC), run(O_BA), state)
+            outs = jax.lax.cond(escalate, run(O_BA_ESC), run(O_BA), None)
+            state = state._replace(**dict(zip(_BA_FIELDS, outs)))
             dropped = jnp.where(escalate, drop_esc, 0)
             return state, dropped, escalate
 
