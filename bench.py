@@ -156,6 +156,8 @@ def main():
     for rep in range(n_reps):
         if rep:
             slam.reset()
+            if os.environ.get("BENCH_SLEEP"):
+                time.sleep(float(os.environ["BENCH_SLEEP"]))
         frame_ms = np.empty(N_FRAMES)
         t0 = time.perf_counter()
         tprev = t0

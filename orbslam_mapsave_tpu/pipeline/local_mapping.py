@@ -207,15 +207,15 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
     (`src/Optimizer.cc:717-779`)."""
     K = state.kf_capacity
     cam_ok = (cam_slots >= 0) & ~prob.cam_fixed
-    safe_cam = jnp.where(cam_ok, cam_slots, K - 1)
-    kf_pose = state.kf_pose.at[safe_cam].set(
-        jnp.where(cam_ok[:, None, None], res.cam_pose, state.kf_pose[safe_cam])
+    # writebacks: rows unique within a call; dead rows -> OOB, dropped
+    kf_pose = state.kf_pose.at[jnp.where(cam_ok, cam_slots, K)].set(
+        res.cam_pose, mode="drop", unique_indices=True
     )
     l_ok = lidx >= 0
     safe_l = jnp.where(l_ok, lidx, state.pt_capacity - 1)
-    pt_pos = state.pt_pos.at[safe_l].set(
-        jnp.where(l_ok[:, None], res.pt_pos, state.pt_pos[safe_l])
-    )
+    pt_pos = state.pt_pos.at[
+        jnp.where(l_ok, lidx, state.pt_capacity)
+    ].set(res.pt_pos, mode="drop", unique_indices=True)
     state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     # erase outlier observations (forward AND reverse pointers). The BA
     # problem's O-lanes ARE the FIRST O_BA pt_obs lanes, so the reverse
@@ -227,15 +227,22 @@ def apply_ba_result(state: ms.MapState, res: local_ba.BAResult,
     o_kf = state.pt_obs_kf[:, :O][safe_l]
     o_ix = state.pt_obs_idx[:, :O][safe_l]
     out = out & (o_kf >= 0) & l_ok[:, None]
+    # kept lanes route OUT OF BOUNDS and drop; the erased (kf,feat) /
+    # (point,lane) index pairs are unique by construction, so the scatters
+    # are declared unique (parallel on TPU instead of serialized)
     fwd = state.kf_kp_point.at[
-        jnp.where(out, o_kf, K - 1), jnp.clip(o_ix, 0)
-    ].set(jnp.where(out, -1, state.kf_kp_point[jnp.where(out, o_kf, K - 1),
-                                               jnp.clip(o_ix, 0)]), mode="drop")
+        jnp.where(out, o_kf, K), jnp.clip(o_ix, 0)
+    ].set(jnp.full(out.shape, -1, jnp.int32), mode="drop",
+          unique_indices=True)
     lanes = jnp.broadcast_to(jnp.arange(O), out.shape)
-    pt_obs_kf = state.pt_obs_kf.at[safe_l[:, None], lanes].set(
-        jnp.where(out, -1, o_kf), mode="drop")
-    pt_obs_idx = state.pt_obs_idx.at[safe_l[:, None], lanes].set(
-        jnp.where(out, -1, o_ix), mode="drop")
+    P = state.pt_capacity
+    drop_l = jnp.where(out, safe_l[:, None], P)
+    pt_obs_kf = state.pt_obs_kf.at[drop_l, lanes].set(
+        jnp.full(out.shape, -1, jnp.int32), mode="drop",
+        unique_indices=True)
+    pt_obs_idx = state.pt_obs_idx.at[drop_l, lanes].set(
+        jnp.full(out.shape, -1, jnp.int32), mode="drop",
+        unique_indices=True)
     return state._replace(kf_kp_point=fwd, pt_obs_kf=pt_obs_kf,
                           pt_obs_idx=pt_obs_idx)
 
@@ -582,10 +589,10 @@ class LocalMapper:
                 pts_nb = jnp.where((neigh >= 0)[:, None],
                                    state.kf_kp_point[nb_safe], -1)
                 flat = pts_nb.reshape(-1)
-                flag = jnp.zeros(P, jnp.int8).at[jnp.clip(flat, 0)].max(
-                    jnp.where(flat >= 0, jnp.int8(1), jnp.int8(0)))
-                flag = jnp.where(state.pt_valid, flag, 0)
-                cand = ms.compact_indices(flag, min(FUSE_CAP, P))
+                # sort-based dedup: the old (R*N)-row flag scatter-max into
+                # a (P,) array serialized on TPU (duplicate indices)
+                cand = ms.unique_compact_ids(flat, P, min(FUSE_CAP, P),
+                                             state.pt_valid)
                 state = fuse_into_keyframe(
                     state, kf_slot, cand, cam, bounds_, scale_factors_,
                     inv_ls2_, n_levels, scale_factor)

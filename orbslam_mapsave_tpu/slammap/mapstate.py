@@ -233,13 +233,15 @@ def add_observations(state: MapState, kf_slot, pt_slots: jax.Array,
     (`src/MapPoint.cc` via `include/MapPoint.h:69`) + `KeyFrame::AddMapPoint`.
     """
     B = pt_slots.shape[0]
+    P = state.pt_capacity
     ok = ok & (pt_slots >= 0)
-    safe_pt = jnp.where(ok, pt_slots, state.pt_capacity - 1)
+    safe_pt = jnp.where(ok, pt_slots, P - 1)
     safe_ft = jnp.where(ok, feat_idx, state.n_features - 1)
-    # forward
+    # forward (feat_idx unique per call; dead rows -> OOB, dropped —
+    # duplicate-tolerant scatters serialize on TPU, unique ones parallelize)
     cur_fwd = state.kf_kp_point[kf_slot]
-    new_fwd = cur_fwd.at[safe_ft].set(
-        jnp.where(ok, pt_slots, cur_fwd[safe_ft])
+    new_fwd = cur_fwd.at[jnp.where(ok, feat_idx, state.n_features)].set(
+        pt_slots, mode="drop", unique_indices=True
     )
     kf_kp_point = state.kf_kp_point.at[kf_slot].set(new_fwd)
     # reverse: find first -1 lane per point. NOTE: pt_slots must be unique
@@ -248,15 +250,17 @@ def add_observations(state: MapState, kf_slot, pt_slots: jax.Array,
     free_lane = jnp.argmax(obs_rows < 0, axis=-1)
     has_free = (obs_rows < 0).any(axis=-1)
     okf = ok & has_free
-    pt_obs_kf = state.pt_obs_kf.at[safe_pt, free_lane].set(
-        jnp.where(okf, jnp.asarray(kf_slot, jnp.int32), state.pt_obs_kf[safe_pt, free_lane])
+    drop_pt = jnp.where(okf, pt_slots, P)
+    pt_obs_kf = state.pt_obs_kf.at[drop_pt, free_lane].set(
+        jnp.broadcast_to(jnp.asarray(kf_slot, jnp.int32), (B,)),
+        mode="drop", unique_indices=True
     )
-    pt_obs_idx = state.pt_obs_idx.at[safe_pt, free_lane].set(
-        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, free_lane])
+    pt_obs_idx = state.pt_obs_idx.at[drop_pt, free_lane].set(
+        feat_idx, mode="drop", unique_indices=True
     )
     oct_b = state.kf_kp_octave[kf_slot][safe_ft].astype(jnp.int8)
-    pt_obs_oct = state.pt_obs_oct.at[safe_pt, free_lane].set(
-        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, free_lane])
+    pt_obs_oct = state.pt_obs_oct.at[drop_pt, free_lane].set(
+        oct_b, mode="drop", unique_indices=True
     )
     dropped = jnp.sum((ok & ~has_free).astype(jnp.int32))
     return state._replace(
@@ -274,27 +278,29 @@ def add_observations_rows(state: MapState, kf_rows: jax.Array,
 
     pt_slots must be unique within a call (fresh allocations are)."""
     K = state.kf_capacity
+    P = state.pt_capacity
     okk = ok & (pt_slots >= 0) & (kf_rows >= 0)
     safe_kf = jnp.where(okk, kf_rows, K - 1)
     safe_ft = jnp.where(okk, feat_idx, state.n_features - 1)
-    cur = state.kf_kp_point[safe_kf, safe_ft]
-    fwd = state.kf_kp_point.at[safe_kf, safe_ft].set(
-        jnp.where(okk, pt_slots, cur)
+    # (kf,feat) pairs unique per call; dead rows -> OOB row, dropped
+    fwd = state.kf_kp_point.at[jnp.where(okk, kf_rows, K), safe_ft].set(
+        pt_slots, mode="drop", unique_indices=True
     )
-    safe_pt = jnp.where(okk, pt_slots, state.pt_capacity - 1)
+    safe_pt = jnp.where(okk, pt_slots, P - 1)
     obs_rows = state.pt_obs_kf[safe_pt]  # (B,MAX_OBS)
     free_lane = jnp.argmax(obs_rows < 0, axis=-1)
     has_free = (obs_rows < 0).any(axis=-1)
     okf = okk & has_free
-    pt_obs_kf = state.pt_obs_kf.at[safe_pt, free_lane].set(
-        jnp.where(okf, kf_rows, state.pt_obs_kf[safe_pt, free_lane])
+    drop_pt = jnp.where(okf, pt_slots, P)
+    pt_obs_kf = state.pt_obs_kf.at[drop_pt, free_lane].set(
+        kf_rows, mode="drop", unique_indices=True
     )
-    pt_obs_idx = state.pt_obs_idx.at[safe_pt, free_lane].set(
-        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, free_lane])
+    pt_obs_idx = state.pt_obs_idx.at[drop_pt, free_lane].set(
+        feat_idx, mode="drop", unique_indices=True
     )
     oct_b = state.kf_kp_octave[safe_kf, safe_ft].astype(jnp.int8)
-    pt_obs_oct = state.pt_obs_oct.at[safe_pt, free_lane].set(
-        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, free_lane])
+    pt_obs_oct = state.pt_obs_oct.at[drop_pt, free_lane].set(
+        oct_b, mode="drop", unique_indices=True
     )
     dropped = jnp.sum((okk & ~has_free).astype(jnp.int32))
     return state._replace(
@@ -316,8 +322,18 @@ def add_observations_rows_dup(state: MapState, kf_rows: jax.Array,
     (kf_rows, feat_idx) pairs must still be unique within a call."""
     K = state.kf_capacity
     P = state.pt_capacity
-    B = pt_slots.shape[0]
     okk = ok & (pt_slots >= 0) & (kf_rows >= 0)
+    cap = 1024
+    if pt_slots.shape[0] > cap:
+        # live adds are few among the padded lanes (see merge_points)
+        sel = compact_indices(okk, cap)
+        selok = sel >= 0
+        ss = jnp.clip(sel, 0)
+        kf_rows = jnp.where(selok, kf_rows[ss], -1)
+        pt_slots = jnp.where(selok, pt_slots[ss], -1)
+        feat_idx = jnp.where(selok, feat_idx[ss], 0)
+        okk = selok & (pt_slots >= 0) & (kf_rows >= 0)
+    B = pt_slots.shape[0]
     idx = jnp.arange(B, dtype=jnp.int32)
     # stable sort by point slot; rank = position within the point group
     key = jnp.where(okk, pt_slots, P)
@@ -327,14 +343,14 @@ def add_observations_rows_dup(state: MapState, kf_rows: jax.Array,
     group_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(new_group, idx, 0))
     rank = jnp.zeros(B, jnp.int32).at[order].set(idx - group_start)
-    # forward refs (unique (kf,feat) pairs -> plain scatter is safe)
+    # forward refs: (kf,feat) pairs unique per call; dead rows -> OOB row
     safe_kf = jnp.where(okk, kf_rows, K - 1)
     safe_ft = jnp.where(okk, feat_idx, state.n_features - 1)
-    cur = state.kf_kp_point[safe_kf, safe_ft]
-    fwd = state.kf_kp_point.at[safe_kf, safe_ft].set(
-        jnp.where(okk, pt_slots, cur)
+    fwd = state.kf_kp_point.at[jnp.where(okk, kf_rows, K), safe_ft].set(
+        pt_slots, mode="drop", unique_indices=True
     )
-    # k-th free observation lane per row (k = rank within the point)
+    # k-th free observation lane per row (k = rank within the point) —
+    # (point, lane) pairs are unique by the rank construction
     safe_pt = jnp.where(okk, pt_slots, P - 1)
     obs_rows = state.pt_obs_kf[safe_pt]  # (B,MAX_OBS)
     free = obs_rows < 0
@@ -342,15 +358,16 @@ def add_observations_rows_dup(state: MapState, kf_rows: jax.Array,
     hit = free & (cumfree == (rank + 1)[:, None])
     lane = jnp.argmax(hit, axis=-1)
     okf = okk & hit.any(axis=-1)
-    pt_obs_kf = state.pt_obs_kf.at[safe_pt, lane].set(
-        jnp.where(okf, kf_rows, state.pt_obs_kf[safe_pt, lane])
+    drop_pt = jnp.where(okf, pt_slots, P)
+    pt_obs_kf = state.pt_obs_kf.at[drop_pt, lane].set(
+        kf_rows, mode="drop", unique_indices=True
     )
-    pt_obs_idx = state.pt_obs_idx.at[safe_pt, lane].set(
-        jnp.where(okf, feat_idx, state.pt_obs_idx[safe_pt, lane])
+    pt_obs_idx = state.pt_obs_idx.at[drop_pt, lane].set(
+        feat_idx, mode="drop", unique_indices=True
     )
     oct_b = state.kf_kp_octave[safe_kf, safe_ft].astype(jnp.int8)
-    pt_obs_oct = state.pt_obs_oct.at[safe_pt, lane].set(
-        jnp.where(okf, oct_b, state.pt_obs_oct[safe_pt, lane])
+    pt_obs_oct = state.pt_obs_oct.at[drop_pt, lane].set(
+        oct_b, mode="drop", unique_indices=True
     )
     dropped = jnp.sum((okk & ~okf).astype(jnp.int32))
     return state._replace(
@@ -375,8 +392,27 @@ def compact_indices(flag: jax.Array, cap: int) -> jax.Array:
     f = flag > 0
     pos = jnp.cumsum(f.astype(jnp.int32)) - f
     ok = f & (pos < cap)
-    return jnp.full(cap, -1, jnp.int32).at[jnp.where(ok, pos, cap - 1)].max(
-        jnp.where(ok, jnp.arange(n, dtype=jnp.int32), -1), mode="drop")
+    # ranks are unique for kept rows; dropped rows route OOB (parallel
+    # unique scatter instead of a duplicate-tolerant serialized one)
+    return jnp.full(cap, -1, jnp.int32).at[jnp.where(ok, pos, cap)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+
+
+def unique_compact_ids(ids: jax.Array, sentinel: int, cap: int,
+                       valid_of: jax.Array | None = None) -> jax.Array:
+    """Unique valid ids compacted ASCENDING into (cap,), -1 padded —
+    two native sorts, zero scatters (a duplicate-index flag scatter over
+    tens of thousands of rows serializes on TPU; sorts don't). `sentinel`
+    must exceed every valid id (typically the id-space size); overflow
+    beyond cap drops the LARGEST ids."""
+    ok = ids >= 0
+    if valid_of is not None:
+        ok = ok & valid_of[jnp.clip(ids, 0)]
+    key = jax.lax.sort(jnp.where(ok, ids, sentinel))
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), bool), key[1:] != key[:-1]]) & (key < sentinel)
+    out = jax.lax.sort(jnp.where(uniq, key, sentinel))[:cap]
+    return jnp.where(out < sentinel, out, -1)
 
 
 def erase_points(state: MapState, pt_mask: jax.Array) -> MapState:
@@ -424,7 +460,7 @@ def replace_points(state: MapState, src: jax.Array, dst: jax.Array,
 
 
 def merge_points(state: MapState, src: jax.Array, dst: jax.Array,
-                 ok: jax.Array) -> MapState:
+                 ok: jax.Array, cap: int = 1024) -> MapState:
     """Full `MapPoint::Replace` parity (`src/MapPoint.cc`): every
     observation of src[i] moves to dst[i]; where the observing KF already
     sees dst, the duplicate forward match is ERASED (the reference's
@@ -433,8 +469,19 @@ def merge_points(state: MapState, src: jax.Array, dst: jax.Array,
     from dst.
     """
     P = state.pt_capacity
-    B = src.shape[0]
     ok = ok & (src >= 0) & (dst >= 0) & (src != dst)
+    if src.shape[0] > cap:
+        # live merge pairs are FEW (dozens per mapping step) among the
+        # padded lanes; every pass below scales with B, so compact first.
+        # Overflow pairs are simply deferred — duplicate detection is
+        # stateless and re-finds them next step.
+        sel = compact_indices(ok, cap)
+        selok = sel >= 0
+        ss = jnp.clip(sel, 0)
+        src = jnp.where(selok, src[ss], -1)
+        dst = jnp.where(selok, dst[ss], -1)
+        ok = selok & (src >= 0)
+    B = src.shape[0]
     safe_src = jnp.where(ok, src, P - 1)
     safe_dst = jnp.where(ok, dst, P - 1)
     s_kf = jnp.where(ok[:, None], state.pt_obs_kf[safe_src], -1)  # (B,O)
@@ -446,15 +493,16 @@ def merge_points(state: MapState, src: jax.Array, dst: jax.Array,
            ).any(-1)
     s_live = (s_kf >= 0)
     move = s_live & ~dup  # transferred to dst
-    # forward pointers: moved -> dst, duplicates -> -1
+    # forward pointers: moved -> dst, duplicates -> -1. Dead lanes route to
+    # an OUT-OF-BOUNDS row and are dropped; live (kf,feat) pairs are unique
+    # (src slots are unique and the forward map is single-valued), so the
+    # scatter is declared unique — a duplicate-tolerant scatter serializes
+    # on TPU, the unique one runs parallel
     tgt = jnp.where(move, safe_dst[:, None], -1)
     K = state.kf_capacity
-    N = state.n_features
-    f_kf = jnp.where(s_live, s_kf, K - 1)
-    f_ix = jnp.where(s_live, s_ix, N - 1)
-    cur = state.kf_kp_point[f_kf, f_ix]
-    fwd = state.kf_kp_point.at[f_kf, f_ix].set(
-        jnp.where(s_live, tgt, cur)
+    f_kf = jnp.where(s_live, s_kf, K)
+    fwd = state.kf_kp_point.at[f_kf, jnp.clip(s_ix, 0)].set(
+        tgt, mode="drop", unique_indices=True
     )
     # reverse rows of dst: append moved lanes into free slots — combined
     # row sorted valid-first, truncated to MAX_OBS (overflow drops the
@@ -470,19 +518,22 @@ def merge_points(state: MapState, src: jax.Array, dst: jax.Array,
     comb_kf = comb_kf_full[:, :MAX_OBS]
     comb_ix = jnp.take_along_axis(comb_ix, order, axis=1)[:, :MAX_OBS]
     comb_oc = jnp.take_along_axis(comb_oc, order, axis=1)[:, :MAX_OBS]
-    pt_obs_kf = state.pt_obs_kf.at[safe_dst].set(
-        jnp.where(ok[:, None], comb_kf, state.pt_obs_kf[safe_dst]))
-    pt_obs_idx = state.pt_obs_idx.at[safe_dst].set(
-        jnp.where(ok[:, None], comb_ix, state.pt_obs_idx[safe_dst]))
-    pt_obs_oct = state.pt_obs_oct.at[safe_dst].set(
-        jnp.where(ok[:, None], comb_oc, state.pt_obs_oct[safe_dst]))
+    # dst rows are unique within a call (caller dedups); dead rows -> OOB
+    drop_dst = jnp.where(ok, dst, P)
+    pt_obs_kf = state.pt_obs_kf.at[drop_dst].set(
+        comb_kf, mode="drop", unique_indices=True)
+    pt_obs_idx = state.pt_obs_idx.at[drop_dst].set(
+        comb_ix, mode="drop", unique_indices=True)
+    pt_obs_oct = state.pt_obs_oct.at[drop_dst].set(
+        comb_oc, mode="drop", unique_indices=True)
     # visible/found accumulate (MapPoint::Replace)
-    vis = state.pt_visible.at[safe_dst].add(
-        jnp.where(ok, state.pt_visible[safe_src], 0))
-    fnd = state.pt_found.at[safe_dst].add(
-        jnp.where(ok, state.pt_found[safe_src], 0))
-    # erase src
-    src_mask = jnp.zeros(P, bool).at[safe_src].set(ok, mode="drop")
+    vis = state.pt_visible.at[drop_dst].add(
+        state.pt_visible[safe_src], mode="drop", unique_indices=True)
+    fnd = state.pt_found.at[drop_dst].add(
+        state.pt_found[safe_src], mode="drop", unique_indices=True)
+    # erase src (src unique within a call)
+    src_mask = jnp.zeros(P, bool).at[jnp.where(ok, src, P)].set(
+        True, mode="drop", unique_indices=True)
     state = state._replace(
         kf_kp_point=fwd, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
         pt_obs_oct=pt_obs_oct, pt_visible=vis, pt_found=fnd,
