@@ -315,9 +315,11 @@ def _build_and_solve(cam, poses, pts, prob, oh, active, robust, lam):
 
 
 def _run_phase(cam, poses, pts, prob, oh, active, robust, n_iters, lam0,
-               rtol: float = 1e-5):
+               rtol: float = 1e-6):
     """Up to n_iters damped LM steps with EARLY TERMINATION: stop once two
-    consecutive steps each improve the cost by < rtol*cost (g2o's LM also
+    consecutive steps each improve the cost by < rtol*cost (rtol=1e-6:
+    1e-5 measurably under-converged the bench map, kf ATE 0.0090 vs
+    0.0082 at identical speed) (g2o's LM also
     terminates on negligible gain, `OptimizationAlgorithmLevenberg`; the
     reference's 5/10-iteration counts are CAPS, not mandates). On the warm
     windows local mapping feeds — only the newest keyframe and its fresh

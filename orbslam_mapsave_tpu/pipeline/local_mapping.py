@@ -447,29 +447,45 @@ def keyframe_culling(state: ms.MapState, kf_slot) -> ms.MapState:
     # cleared elementwise (no rebuild — lane holes are tolerated everywhere).
     # The lane test compares against the <=T culled ids instead of gathering
     # a (P,O) cull-flag lookup (fuses into one pass over pt_obs_kf).
-    fwd = jnp.where(cull[:, None], -1, state.kf_kp_point)
-    culled_ids = jnp.where(cull_t, tgt, -2)  # (T,) — -2 never matches
-    obs_culled = (
-        state.pt_obs_kf[..., None] == culled_ids[None, None, :]
-    ).any(-1)
-    state = state._replace(
-        kf_valid=state.kf_valid & ~cull,
-        kf_kp_point=fwd,
-        kf_parent=new_parent,
-        covis=jnp.where(cull[:, None] | cull[None, :], 0, state.covis),
-        pt_obs_kf=jnp.where(obs_culled, -1, state.pt_obs_kf),
-        pt_obs_idx=jnp.where(obs_culled, -1, state.pt_obs_idx),
-        pt_obs_oct=jnp.where(obs_culled, jnp.int8(-1), state.pt_obs_oct),
+    # The whole removal runs under a cond: on MOST mapping steps nothing is
+    # culled, and the (P,O,T) lane comparison + table rewrites are the
+    # dominant cost of this function.
+    def do_removal(_):
+        fwd = jnp.where(cull[:, None], -1, state.kf_kp_point)
+        culled_ids = jnp.where(cull_t, tgt, -2)  # (T,) — -2 never matches
+        obs_culled = (
+            state.pt_obs_kf[..., None] == culled_ids[None, None, :]
+        ).any(-1)
+        pt_obs_kf = jnp.where(obs_culled, -1, state.pt_obs_kf)
+        # points whose reference KF was culled re-anchor to their first
+        # surviving observer (`MapPoint` keeps mpRefKF alive in the
+        # reference by reassigning on erase)
+        ref_culled = (state.pt_ref_kf >= 0) & cull[
+            jnp.clip(state.pt_ref_kf, 0)]
+        has_obs = (pt_obs_kf >= 0).any(-1)
+        first_lane = jnp.argmax(pt_obs_kf >= 0, axis=-1)
+        fallback = pt_obs_kf[jnp.arange(state.pt_capacity), first_lane]
+        new_ref = jnp.where(ref_culled & has_obs, fallback,
+                            state.pt_ref_kf)
+        return (state.kf_valid & ~cull, fwd, new_parent,
+                jnp.where(cull[:, None] | cull[None, :], 0, state.covis),
+                pt_obs_kf,
+                jnp.where(obs_culled, -1, state.pt_obs_idx),
+                jnp.where(obs_culled, jnp.int8(-1), state.pt_obs_oct),
+                new_ref)
+
+    def no_removal(_):
+        return (state.kf_valid, state.kf_kp_point, state.kf_parent,
+                state.covis, state.pt_obs_kf, state.pt_obs_idx,
+                state.pt_obs_oct, state.pt_ref_kf)
+
+    (kf_valid, fwd, kf_parent, covis, pt_obs_kf, pt_obs_idx, pt_obs_oct,
+     pt_ref_kf) = jax.lax.cond(cull_t.any(), do_removal, no_removal, None)
+    return state._replace(
+        kf_valid=kf_valid, kf_kp_point=fwd, kf_parent=kf_parent,
+        covis=covis, pt_obs_kf=pt_obs_kf, pt_obs_idx=pt_obs_idx,
+        pt_obs_oct=pt_obs_oct, pt_ref_kf=pt_ref_kf,
     )
-    # points whose reference KF was culled re-anchor to their first
-    # surviving observer (`MapPoint` keeps mpRefKF alive in the reference
-    # by reassigning on erase)
-    ref_culled = (state.pt_ref_kf >= 0) & cull[jnp.clip(state.pt_ref_kf, 0)]
-    has_obs = (state.pt_obs_kf >= 0).any(-1)
-    first_lane = jnp.argmax(state.pt_obs_kf >= 0, axis=-1)
-    fallback = state.pt_obs_kf[jnp.arange(state.pt_capacity), first_lane]
-    new_ref = jnp.where(ref_culled & has_obs, fallback, state.pt_ref_kf)
-    return state._replace(pt_ref_kf=new_ref)
 
 
 class LocalMapper:

@@ -323,9 +323,11 @@ def add_observations_rows_dup(state: MapState, kf_rows: jax.Array,
     K = state.kf_capacity
     P = state.pt_capacity
     okk = ok & (pt_slots >= 0) & (kf_rows >= 0)
-    cap = 1024
+    # a fresh keyframe can legitimately add THOUSANDS of observations
+    # across its reverse-fuse targets (own points not yet in any target) —
+    # a tight cap here silently weakens the covisibility graph
+    cap = 4096
     if pt_slots.shape[0] > cap:
-        # live adds are few among the padded lanes (see merge_points)
         sel = compact_indices(okk, cap)
         selok = sel >= 0
         ss = jnp.clip(sel, 0)
@@ -604,10 +606,12 @@ def update_connections(state: MapState, kf_slot) -> MapState:
     safe = jnp.where(ok, pts, state.pt_capacity - 1)
     obs_kf = state.pt_obs_kf[safe]  # (N,MAX_OBS)
     obs_ok = ok[:, None] & (obs_kf >= 0)
-    safe_obs = jnp.where(obs_ok, obs_kf, K - 1)
-    counts = jnp.zeros(K, jnp.int32).at[safe_obs.reshape(-1)].add(
-        obs_ok.reshape(-1).astype(jnp.int32), mode="drop"
-    )
+    # shared-point counting as a one-hot reduction (the scatter-add over
+    # N*MAX_OBS duplicate-index rows serializes on TPU; the dense compare +
+    # column sum is one vector pass)
+    flat_kf = jnp.where(obs_ok, obs_kf, -1).reshape(-1)
+    ohk = flat_kf[:, None] == jnp.arange(K, dtype=jnp.int32)
+    counts = jnp.sum(ohk.astype(jnp.int32), axis=0)
     counts = counts.at[kf_slot].set(0)
     counts = jnp.where(state.kf_valid, counts, 0)
     best = jnp.max(counts)
@@ -693,8 +697,9 @@ def compute_distinctive_descriptors_idx(state: MapState, idx: jax.Array,
     new_desc, has = _distinctive_descriptors_rows(obs_kf, obs_idx,
                                                   state.kf_desc)
     upd = idx_ok & has
-    pt_desc = state.pt_desc.at[safe].set(
-        jnp.where(upd[:, None], new_desc, state.pt_desc[safe])
+    # idx rows are unique (one point per keyframe feature); dead -> OOB
+    pt_desc = state.pt_desc.at[jnp.where(upd, idx, P)].set(
+        new_desc, mode="drop", unique_indices=True
     )
     return state._replace(pt_desc=pt_desc)
 
@@ -859,11 +864,12 @@ def update_normal_and_depth_idx(state: MapState, idx: jax.Array,
         scale_factors, n_levels,
     )
     upd = idx_ok & has
+    drop = jnp.where(upd, idx, P)  # idx unique per call; dead -> OOB
     return state._replace(
-        pt_normal=state.pt_normal.at[safe].set(
-            jnp.where(upd[:, None], normal, state.pt_normal[safe])),
-        pt_max_dist=state.pt_max_dist.at[safe].set(
-            jnp.where(upd, max_d, state.pt_max_dist[safe])),
-        pt_min_dist=state.pt_min_dist.at[safe].set(
-            jnp.where(upd, min_d, state.pt_min_dist[safe])),
+        pt_normal=state.pt_normal.at[drop].set(
+            normal, mode="drop", unique_indices=True),
+        pt_max_dist=state.pt_max_dist.at[drop].set(
+            max_d, mode="drop", unique_indices=True),
+        pt_min_dist=state.pt_min_dist.at[drop].set(
+            min_d, mode="drop", unique_indices=True),
     )
