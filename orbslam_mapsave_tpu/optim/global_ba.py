@@ -409,6 +409,118 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     return dx_cam, dx_pt
 
 
+def _solve_pcg_dual(cam, poses, pts, tb: FullBATables, robust, lam,
+                    cg_iters: int, cg_tol: float):
+    """One damped LM step via PCG with NO one-hot operator — the
+    reference-scale path. The one-hot solvers carry a (P,O,K) tensor,
+    which is O(P·O·K) memory (tens of GB at K>=1024, P>=256k); this form
+    is O(P·O + K·N): every point-side reduction is lane-local in the
+    point-major layout, every camera-side reduction is lane-local in the
+    camera-major layout, and the only cross-side traffic is two element
+    gathers per CG matvec (x to point lanes, z to camera lanes).
+    Preconditioner: damped Hcc block-Jacobi (the exact S-diagonal needs
+    per-lane Hpp_inv gathers — another (K,N,3,3) tensor — and measured no
+    iteration-count win on the fixtures). Returns (dx_cam, dx_pt)."""
+    K = poses.shape[0]
+    dtype = pts.dtype
+
+    # ---- point-major blocks (gather path: oh=None) ----
+    r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(
+        cam, poses, pts, tb, None)
+    free_po = tb.cam_free[jnp.clip(tb.po_cam, 0)] & tb.po_valid
+    Jc_po = jnp.where(free_po[..., None, None], Jc_po, 0.0)
+    w_po = _weights(chi2_po, okz_po, tb.po_valid, tb.po_is2, st_po, robust)
+    wJp = Jp_po * w_po[..., None, None]
+    wJc = Jc_po * w_po[..., None, None]
+    Hpp = jnp.sum(wJp[..., :, :, None] * Jp_po[..., :, None, :], axis=(1, 2))
+    gp = -jnp.sum(wJp * r_po[..., None], axis=(1, 2))  # (P,3)
+    W_po = jnp.sum(wJc[..., :, :, None] * Jp_po[..., :, None, :],
+                   axis=-3)  # (P,O,6,3)
+    pt_has = (jnp.sum(w_po, -1) > 0) & tb.pt_valid
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp_diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + eye3 * (lam * Hpp_diag + 1e-8)[..., None]
+    Hpp_inv = lm.inv3x3(jnp.where(pt_has[:, None, None], Hpp_d, eye3[None]))
+    Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
+
+    # ---- camera-major blocks (poses broadcast along the row) ----
+    r_cm, Jc_cm, Jp_cm, chi2_cm, okz_cm, st_cm = _cm_terms(
+        cam, poses, pts, tb)
+    free_cm = tb.cam_free[:, None] & tb.cm_valid
+    Jc_cm = jnp.where(free_cm[..., None, None], Jc_cm, 0.0)
+    w_cm = _weights(chi2_cm, okz_cm, tb.cm_valid, tb.cm_is2, st_cm, robust)
+    wJc_cm = Jc_cm * w_cm[..., None, None]
+    Hcc = jnp.sum(wJc_cm[..., :, :, None] * Jc_cm[..., :, None, :],
+                  axis=(1, 2))  # (K,6,6) lane-local per camera row
+    gc = -jnp.sum(wJc_cm * r_cm[..., None], axis=(1, 2))  # (K,6)
+    W_cm = jnp.sum(wJc_cm[..., :, :, None] * Jp_cm[..., :, None, :],
+                   axis=-3)  # (K,N,6,3)
+    eye6 = jnp.eye(6, dtype=dtype)
+    Hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+    Hcc_d = Hcc + eye6 * (lam * Hcc_diag + 1e-8)[..., None]
+    Hcc_d = jnp.where(tb.cam_free[:, None, None], Hcc_d, eye6[None])
+
+    # rhs = gc - W Hpp^-1 gp
+    gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
+    gpz_lane = gp_z[jnp.clip(tb.cm_pt, 0)]  # (K,N,3) gather
+    rhs = gc - jnp.sum(
+        jnp.sum(W_cm * gpz_lane[:, :, None, :], axis=-1), axis=1)
+    rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
+
+    safe_po = jnp.clip(tb.po_cam, 0)
+    safe_cm = jnp.clip(tb.cm_pt, 0)
+
+    def matvec(x):  # (K,6) -> (K,6)
+        a = jnp.sum(Hcc_d * x[:, None, :], axis=-1)
+        x_lane = x[safe_po]  # (P,O,6) gather; dead lanes have W_po = 0
+        t = jnp.sum(W_po * x_lane[..., :, None], axis=(1, 2))  # (P,3)
+        z = jnp.sum(Hpp_inv * t[:, None, :], axis=-1)  # (P,3)
+        z_lane = z[safe_cm]  # (K,N,3) gather; dead lanes have W_cm = 0
+        b = jnp.sum(jnp.sum(W_cm * z_lane[:, :, None, :], axis=-1), axis=1)
+        return a - b
+
+    Minv = jnp.linalg.inv(Hcc_d)
+    Minv = jnp.where(jnp.isfinite(Minv), Minv, eye6[None])
+
+    def apply_minv(v):
+        return jnp.sum(Minv * v[:, None, :], axis=-1)
+
+    x0 = jnp.zeros((K, 6), dtype)
+    r0 = rhs
+    p0 = apply_minv(r0)
+    rz0 = jnp.sum(r0 * p0)
+    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
+
+    def cond(c):
+        i, x, r, p, rz = c
+        return (i < cg_iters) & (jnp.sqrt(jnp.sum(r * r)) / rhs_norm
+                                 > cg_tol)
+
+    def body(c):
+        i, x, r, p, rz = c
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    _, dx_cam, _, _, _ = jax.lax.while_loop(cond, body,
+                                            (0, x0, r0, p0, rz0))
+    dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None],
+                       dx_cam, 0.0)
+    # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)
+    dx_lane = dx_cam[safe_po]  # (P,O,6)
+    Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))
+    dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
+    dx_pt = jnp.where(pt_has[:, None], dx_pt, 0.0)
+    dx_pt = jnp.where(jnp.isfinite(dx_pt), dx_pt, 0.0)
+    return dx_cam, dx_pt
+
+
 @partial(jax.jit,
          static_argnames=("n_iters", "robust", "cg_iters", "solver"))
 def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
@@ -436,13 +548,15 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
     robust_flag = jnp.asarray(robust)
     if abort is None:
         abort = jnp.asarray(False)
-    oh = _onehot_po(tb, K)  # one (P,O,K) build, reused all solve
+    # "auto" thresholds on the PADDED capacity K (the only shape visible
+    # under jit); callers that know the live count should pass the solver
+    # explicitly (pipeline/gba.GBAJob does). "pcg_dual" never builds the
+    # (P,O,K) one-hot — the reference-scale path (K >= 1024).
+    use_dense = solver == "dense" or (solver == "auto" and K <= 384)
+    use_oh = use_dense or solver == "pcg"
+    oh = _onehot_po(tb, K) if use_oh else None
     cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
     free = tb.cam_free[:, None]
-    # "auto" thresholds on the PADDED capacity K (the only shape visible
-    # under jit); callers that know the live count should pass
-    # solver="dense"/"pcg" explicitly (pipeline/gba.GBAJob does)
-    use_dense = solver == "dense" or (solver == "auto" and K <= 384)
 
     def body(carry, _):
         poses, pts, lam, cur = carry
@@ -452,6 +566,9 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
             if use_dense:
                 dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag,
                                         lam, oh)
+            elif solver == "pcg_dual":
+                dxc, dxp = _solve_pcg_dual(cam, poses, pts, tb, robust_flag,
+                                           lam, cg_iters, cg_tol)
             else:
                 dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
                                       cg_iters, cg_tol, oh)
@@ -497,9 +614,10 @@ def gba_init(cam: projection.Camera, state: ms.MapState,
     iteration programs, so the remaining ~n_iters x ~30 ms of device work
     never serializes with tracking."""
     tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
-    oh = _onehot_po(tb, state.kf_pose.shape[0])
+    # gather-path cost (oh=None): runs once per job, and the (P,O,K)
+    # one-hot must never materialize on the reference-scale path
     cur0 = _accept_cost(cam, state.kf_pose, state.pt_pos, tb,
-                        jnp.asarray(robust), oh)
+                        jnp.asarray(robust), None)
     lam0 = jnp.asarray(1e-4, state.pt_pos.dtype)
     # final carry element: small-gain streak counter (device-side early
     # stop — host fetches, even is_ready(), cost a tunnel round trip)
@@ -525,11 +643,14 @@ def gba_iterate(cam: projection.Camera, tb: FullBATables, poses, pts, lam,
 
     def step(args):
         poses, pts, lam, cur, small = args
-        oh = _onehot_po(tb, K)
+        oh = _onehot_po(tb, K) if solver != "pcg_dual" else None
         free = tb.cam_free[:, None]
         if solver == "dense":
             dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag, lam,
                                     oh)
+        elif solver == "pcg_dual":
+            dxc, dxp = _solve_pcg_dual(cam, poses, pts, tb, robust_flag,
+                                       lam, cg_iters, cg_tol)
         else:
             dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
                                   cg_iters, cg_tol, oh)

@@ -89,17 +89,28 @@ def _residuals_only(S, prob: PoseGraphProblem, oh_i, oh_j):
         Si, Sj, prob.edge_meas)
 
 
-def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20):
+def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
+                        solver: str = "dense", cg_iters: int = 100,
+                        cg_tol: float = 1e-6):
     """Run damped Gauss-Newton over the pose graph. Returns (S_opt (K,4,4),
     final chi2).
 
-    The (7K,7K) normal system is solved by Cholesky — XLA's TPU
-    `linalg.solve` lowers to partial-pivot LU, which at a few hundred
-    variables runs ~100x slower than the blocked Cholesky (measured: the
-    LU path made the essential graph a multi-second stall per loop event)."""
+    solver="dense": the (7K,7K) normal system assembled by incidence
+    contraction and solved by Cholesky — XLA's TPU `linalg.solve` lowers
+    to partial-pivot LU, which at a few hundred variables runs ~100x
+    slower than the blocked Cholesky (measured: the LU path made the
+    essential graph a multi-second stall per loop event).
+
+    solver="cg": reference-scale path (K >= ~512). The dense assembly is
+    O(E·K²) flops and O(K²·49) memory; the CG form keeps per-edge 7x7
+    blocks and runs matvecs through the (E,K) incidence (O(E·K) per
+    matvec), preconditioned by the block diagonal."""
     K = prob.S_init.shape[0]
     free = prob.valid & ~prob.fixed
     oh_i, oh_j = _edge_onehots(prob, K)
+    if solver == "cg":
+        return _optimize_pose_graph_cg(prob, n_iters, cg_iters, cg_tol,
+                                       free, oh_i, oh_j)
 
     def chi2_of(S):
         r = _residuals_only(S, prob, oh_i, oh_j)
@@ -157,6 +168,107 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20):
     )
     # chained f32 sim3_exp products drift off scale x SO(3); project back
     # before the corrected poses are written into the map
+    S = se3.sim3_orthonormalize(S)
+    return S, chi2_of(S)
+
+
+def _optimize_pose_graph_cg(prob: PoseGraphProblem, n_iters: int,
+                            cg_iters: int, cg_tol: float,
+                            free, oh_i, oh_j):
+    """Damped GN with a matrix-free PCG inner solve (see
+    optimize_pose_graph). Per-edge 7x7 blocks; endpoint selection and
+    reduction as (E,K) incidence matmuls; block-Jacobi preconditioner."""
+    K = prob.S_init.shape[0]
+    dtype = prob.S_init.dtype
+    w_e = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
+    free_f = free.astype(dtype)
+    eye7 = jnp.eye(7, dtype=dtype)
+
+    def chi2_of(S):
+        r = _residuals_only(S, prob, oh_i, oh_j)
+        return jnp.sum(w_e * jnp.sum(r * r, -1))
+
+    def step(S, lam):
+        r, Ji, Jj = _linearize(S, prob, oh_i, oh_j)
+        # zero Jacobians of fixed endpoints (identity handled below)
+        fi = jnp.einsum("ek,k->e", oh_i, free_f)[:, None, None]
+        fj = jnp.einsum("ek,k->e", oh_j, free_f)[:, None, None]
+        Ji = Ji * fi
+        Jj = Jj * fj
+        cur = jnp.sum(w_e * jnp.sum(r * r, -1))
+        Hii = jnp.einsum("eri,e,erj->eij", Ji, w_e, Ji, precision=lm_mod.HI)
+        Hjj = jnp.einsum("eri,e,erj->eij", Jj, w_e, Jj, precision=lm_mod.HI)
+        Hij = jnp.einsum("eri,e,erj->eij", Ji, w_e, Jj, precision=lm_mod.HI)
+        gi = -jnp.einsum("eri,e,er->ei", Ji, w_e, r, precision=lm_mod.HI)
+        gj = -jnp.einsum("eri,e,er->ei", Jj, w_e, r, precision=lm_mod.HI)
+        g = (jnp.einsum("ek,ei->ki", oh_i, gi, precision=lm_mod.HI)
+             + jnp.einsum("ek,ei->ki", oh_j, gj, precision=lm_mod.HI))
+        g = jnp.where(free[:, None], g, 0.0)
+        # block diagonal (for damping + preconditioner)
+        D = (jnp.einsum("ek,eij->kij", oh_i, Hii, precision=lm_mod.HI)
+             + jnp.einsum("ek,eij->kij", oh_j, Hjj, precision=lm_mod.HI))
+        D = D + eye7 * lam
+        D = jnp.where(free[:, None, None], D, eye7[None])
+        Minv = jnp.linalg.inv(D)
+        Minv = jnp.where(jnp.isfinite(Minv), Minv, eye7[None])
+
+        def matvec(x):  # (K,7)
+            x = jnp.where(free[:, None], x, 0.0)
+            xi = jnp.einsum("ek,ki->ei", oh_i, x, precision=lm_mod.HI)
+            xj = jnp.einsum("ek,ki->ei", oh_j, x, precision=lm_mod.HI)
+            yi = (jnp.sum(Hii * xi[:, None, :], -1)
+                  + jnp.sum(Hij * xj[:, None, :], -1))
+            yj = (jnp.einsum("eij,ei->ej", Hij, xi, precision=lm_mod.HI)
+                  + jnp.sum(Hjj * xj[:, None, :], -1))
+            y = (jnp.einsum("ek,ei->ki", oh_i, yi, precision=lm_mod.HI)
+                 + jnp.einsum("ek,ei->ki", oh_j, yj, precision=lm_mod.HI))
+            # off-diagonal pieces above exclude the damping/diag identity:
+            # add lam on free rows, identity on fixed rows
+            y = y + lam * x
+            return jnp.where(free[:, None], y, x)
+
+        def apply_minv(v):
+            return jnp.sum(Minv * v[:, None, :], axis=-1)
+
+        x0 = jnp.zeros((K, 7), dtype)
+        r0 = g
+        p0 = apply_minv(r0)
+        rz0 = jnp.sum(r0 * p0)
+        gn = jnp.sqrt(jnp.sum(g * g)) + 1e-30
+
+        def cond(c):
+            i, x, rr, p, rz = c
+            return (i < cg_iters) & (jnp.sqrt(jnp.sum(rr * rr)) / gn
+                                     > cg_tol)
+
+        def body(c):
+            i, x, rr, p, rz = c
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = apply_minv(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+            p = z + beta * p
+            return i + 1, x, rr, p, rz_new
+
+        _, dx, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dx = jnp.where(free[:, None], dx, 0.0)
+        return se3.sim3_exp(dx) @ S, cur
+
+    def body(carry, _):
+        S, lam = carry
+        S_new, cur = step(S, lam)
+        new = chi2_of(S_new)
+        accept = new < cur
+        S = jnp.where(accept, S_new, S)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-8, 1e8)
+        return (S, lam), new
+
+    (S, _), _ = jax.lax.scan(
+        body, (prob.S_init, jnp.asarray(1e-6, dtype)), None, length=n_iters)
     S = se3.sim3_orthonormalize(S)
     return S, chi2_of(S)
 

@@ -76,7 +76,16 @@ class GBAJob:
             # Solver picked from the LIVE keyframe count host-side: the
             # jit-side "auto" rule sees only the PADDED capacity
             self._incremental = True
-            self._solver = "dense" if self.snap_n_kf <= 384 else "pcg"
+            if self.snap_n_kf <= 384:
+                self._solver = "dense"
+            else:
+                # the one-hot PCG carries a (P,O,K) operator; switch to
+                # the dual-layout gather solver once that would exceed
+                # ~2 GB (reference-scale maps)
+                oh_bytes = (state.pt_capacity * global_ba.O_GBA
+                            * state.kf_capacity * 4)
+                self._solver = ("pcg" if oh_bytes < 2 * 1024**3
+                                else "pcg_dual")
             self._tb, self._carry = global_ba.gba_init(
                 cam, state, jnp.asarray(inv_level_sigma2), robust=robust)
             self.iters_left = n_iters

@@ -809,7 +809,11 @@ class LoopCloser:
                 edge_valid=e_ok,
                 edge_weight=jnp.ones(E_CAP, jnp.float32),
             )
-            S_opt, _ = pose_graph.optimize_pose_graph(prob, n_iters=20)
+            # reference-scale maps switch to the matrix-free CG form: the
+            # dense (7K,7K) assembly is O(E*K^2) flops per LM iteration
+            S_opt, _ = pose_graph.optimize_pose_graph(
+                prob, n_iters=20,
+                solver="dense" if K <= 384 else "cg")
             # correct points through reference KFs (Optimizer.cc:1031-1060);
             # one-hot pose selection (see _onehot_po rationale)
             from ..optim import lm as lm_mod
