@@ -40,6 +40,11 @@ def main(argv=None):
     ap.add_argument("--html-view", help="write an interactive HTML map view "
                     "here at the end (orbit/zoom/pan in any browser)")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--follow", action="store_true",
+                    help="treat --dataset as a GROWING directory (live-"
+                    "sensor stand-in): poll for new frames, drop backlog, "
+                    "stop after --follow-timeout idle seconds")
+    ap.add_argument("--follow-timeout", type=float, default=5.0)
     args = ap.parse_args(argv)
 
     from .. import config as config_mod
@@ -80,36 +85,64 @@ def main(argv=None):
 
         viewer = Viewer(slam, cfg.viewer, args.viewer_dir or "viewer_out")
 
-    ds = dataset_mod.open_dataset(dataset_root,
-                                  depth_factor=cfg.camera.depth_map_factor)
-    n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
-    print(f"Tracking {n} frames from {dataset_root} ({args.sensor}) ...")
     t_track = []
-    for i in range(n):
+    if args.follow:
         if sensor == system_mod.Sensor.STEREO:
-            t, gray, right = ds.stereo(i)
-        else:
-            t, gray, depth = ds[i]
-        t0 = time.perf_counter()
-        if sensor == system_mod.Sensor.RGBD:
-            pose = slam.track_rgbd(gray, depth, t)
-        elif sensor == system_mod.Sensor.STEREO:
-            pose = slam.track_stereo(gray, right, t)
-        else:
-            pose = slam.track_monocular(gray, t)
-        t_track.append(time.perf_counter() - t0)
-        if viewer is not None:
-            viewer.update(gray, slam.tracker.last_frame, pose)
-        if i % 30 == 0:
-            state = ["WAIT", "INIT", "OK", "LOST"][slam.tracking_state]
-            print(f"  frame {i}: {state} kfs={slam.n_keyframes} "
-                  f"pts={slam.n_points} ({1e3*t_track[-1]:.0f} ms)",
-                  file=sys.stderr)
+            raise SystemExit("--follow supports mono/rgbd directories")
+        src = dataset_mod.FollowSource(
+            dataset_root, depth_factor=cfg.camera.depth_map_factor,
+            fps=cfg.camera.fps, idle_timeout=args.follow_timeout)
+        print(f"Following {dataset_root} ({args.sensor}) — waiting for "
+              f"frames, idle timeout {args.follow_timeout}s ...")
+        for i, (t, gray, depth) in enumerate(src.frames()):
+            t0 = time.perf_counter()
+            if sensor == system_mod.Sensor.RGBD:
+                pose = slam.track_rgbd(gray, depth, t)
+            else:
+                pose = slam.track_monocular(gray, t)
+            t_track.append(time.perf_counter() - t0)
+            if viewer is not None:
+                viewer.update(gray, slam.tracker.last_frame, pose)
+            if i % 30 == 0:
+                state = ["WAIT", "INIT", "OK", "LOST"][slam.tracking_state]
+                print(f"  frame {i}: {state} kfs={slam.n_keyframes} "
+                      f"pts={slam.n_points} dropped={src.n_dropped}",
+                      file=sys.stderr)
+            if args.max_frames and src.n_seen >= args.max_frames:
+                break
+        print(f"follow ended: {src.n_seen} frames tracked, "
+              f"{src.n_dropped} dropped (backlog policy)")
+    else:
+        ds = dataset_mod.open_dataset(
+            dataset_root, depth_factor=cfg.camera.depth_map_factor)
+        n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
+        print(f"Tracking {n} frames from {dataset_root} ({args.sensor}) ...")
+        for i in range(n):
+            if sensor == system_mod.Sensor.STEREO:
+                t, gray, right = ds.stereo(i)
+            else:
+                t, gray, depth = ds[i]
+            t0 = time.perf_counter()
+            if sensor == system_mod.Sensor.RGBD:
+                pose = slam.track_rgbd(gray, depth, t)
+            elif sensor == system_mod.Sensor.STEREO:
+                pose = slam.track_stereo(gray, right, t)
+            else:
+                pose = slam.track_monocular(gray, t)
+            t_track.append(time.perf_counter() - t0)
+            if viewer is not None:
+                viewer.update(gray, slam.tracker.last_frame, pose)
+            if i % 30 == 0:
+                state = ["WAIT", "INIT", "OK", "LOST"][slam.tracking_state]
+                print(f"  frame {i}: {state} kfs={slam.n_keyframes} "
+                      f"pts={slam.n_points} ({1e3*t_track[-1]:.0f} ms)",
+                      file=sys.stderr)
 
     import numpy as np
 
-    print(f"median track time: {1e3*float(np.median(t_track)):.1f} ms "
-          f"({1.0/float(np.median(t_track)):.1f} fps)")
+    if t_track:
+        print(f"median track time: {1e3*float(np.median(t_track)):.1f} ms "
+              f"({1.0/float(np.median(t_track)):.1f} fps)")
     slam.save_camera_trajectory(args.out)
     slam.save_keyframe_trajectory(args.kf_out)
     print(f"trajectories saved to {args.out}, {args.kf_out}")

@@ -170,6 +170,87 @@ class ImageDirSource:
             yield self[i]
 
 
+class FollowSource:
+    """Follow a directory that GROWS while the system runs — this
+    environment's stand-in for the reference's live V4L / RealSense / RTSP
+    mains (`Examples/Monocular.cc:65-132`, `Examples/RGBD.cpp:69-100`).
+
+    Layout: flat images, or `rgb/` (+ `depth/` with identical filenames
+    for RGB-D — an rgb file only counts as available once its depth twin
+    exists). Timestamps parse from numeric filename stems (TUM style),
+    falling back to arrival_index / fps.
+
+    Frame-drop policy (live-camera grab semantics): when the tracker falls
+    behind and several new files have appeared since the last poll, only
+    the NEWEST is processed and the backlog is dropped (counted in
+    `n_dropped`) — a per-frame live main also only ever sees the latest
+    grabbed frame, and the reference paces itself the same way
+    (`mMaxFrames` keyframe pacing, `src/Tracking.cc:163-174`).
+
+    The generator ends after `idle_timeout` seconds without a new file.
+    """
+
+    EXTS = (".png", ".jpg", ".jpeg")
+
+    def __init__(self, root: str | Path, depth_factor: float = 5000.0,
+                 fps: float = 30.0, idle_timeout: float = 5.0,
+                 poll_interval: float = 0.02, drop_stale: bool = True):
+        self.root = Path(root)
+        self.depth_factor = depth_factor
+        self.fps = fps
+        self.idle_timeout = idle_timeout
+        self.poll_interval = poll_interval
+        self.drop_stale = drop_stale
+        self.n_dropped = 0
+        self.n_seen = 0
+
+    def _rgb_dir(self) -> Path:
+        d = self.root / "rgb"
+        return d if d.is_dir() else self.root
+
+    def _depth_dir(self) -> Path | None:
+        d = self.root / "depth"
+        return d if d.is_dir() else None
+
+    @staticmethod
+    def _stamp(path: Path, idx: int, fps: float) -> float:
+        try:
+            return float(path.stem)
+        except ValueError:
+            return idx / fps
+
+    def frames(self):
+        import time as _time
+
+        seen: set[str] = set()
+        last_new = _time.monotonic()
+        while True:
+            rgb_dir = self._rgb_dir()
+            depth_dir = self._depth_dir()
+            fresh = sorted(
+                p for p in rgb_dir.iterdir()
+                if p.suffix.lower() in self.EXTS and p.name not in seen
+                and (depth_dir is None or (depth_dir / p.name).is_file())
+            ) if rgb_dir.is_dir() else []
+            if not fresh:
+                if _time.monotonic() - last_new > self.idle_timeout:
+                    return
+                _time.sleep(self.poll_interval)
+                continue
+            last_new = _time.monotonic()
+            for p in fresh:
+                seen.add(p.name)
+            batch = fresh[-1:] if self.drop_stale else fresh
+            self.n_dropped += len(fresh) - len(batch)
+            for p in batch:
+                t = self._stamp(p, self.n_seen + self.n_dropped, self.fps)
+                gray = _imread_gray(p)
+                depth = (_imread_depth(depth_dir / p.name, self.depth_factor)
+                         if depth_dir is not None else None)
+                self.n_seen += 1
+                yield t, gray, depth
+
+
 def open_dataset(root: str | Path, depth_factor: float = 5000.0):
     root = Path(root)
     if (root / "rgb.txt").is_file():
