@@ -39,6 +39,12 @@ def main(argv=None):
     ap.add_argument("--viewer-dir", help="write frame/map snapshots here")
     ap.add_argument("--html-view", help="write an interactive HTML map view "
                     "here at the end (orbit/zoom/pan in any browser)")
+    ap.add_argument("--html-live", type=int, default=0, metavar="N_KFS",
+                    help="LIVE map window: rewrite --html-view every N new "
+                    "keyframes during the run; the page auto-refreshes, "
+                    "so a browser pointed at it approximates the "
+                    "reference's live viewer (costs one map fetch per "
+                    "rewrite)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--follow", action="store_true",
                     help="treat --dataset as a GROWING directory (live-"
@@ -80,10 +86,17 @@ def main(argv=None):
         reuse_map_path=cfg.reuse_map_path if cfg.reuse_map else None,
     )
     viewer = None
-    if args.viewer_dir or cfg.use_viewer:
+    if args.viewer_dir or cfg.use_viewer or (args.html_live
+                                             and args.html_view):
         from ..viz.viewer import Viewer
 
-        viewer = Viewer(slam, cfg.viewer, args.viewer_dir or "viewer_out")
+        viewer = Viewer(
+            slam, cfg.viewer, args.viewer_dir or "viewer_out",
+            # PNG snapshots only when a viewer dir was asked for
+            every_n=10 if (args.viewer_dir or cfg.use_viewer) else 10**9,
+            live_html=args.html_view if args.html_live else None,
+            live_every_kfs=max(args.html_live, 1),
+        )
 
     t_track = []
     if args.follow:

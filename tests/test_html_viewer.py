@@ -29,3 +29,53 @@ def test_export_html(tmp_path):
     assert '"covis_strong": [[0, 1, 120]]' in s
     assert '"tree": [[0, 1], [1, 2]]' in s
     assert s.count("canvas") >= 2 and "<script>" in s  # self-contained
+
+
+def test_live_html_rewrites(tmp_path):
+    """Live mode: the viewer rewrites an auto-refreshing page every N new
+    keyframes; the camera state survives reloads via localStorage
+    (VERDICT r4 #8; reference anchor src/Viewer.cc:70-513)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orbslam_mapsave_tpu.slammap import mapstate as ms
+    from orbslam_mapsave_tpu.viz import html_viewer
+    from orbslam_mapsave_tpu.viz.viewer import Viewer
+
+    st = ms.empty_map(8, 64, 16)
+    rng = np.random.default_rng(0)
+    kp = dict(
+        kp_xy=jnp.asarray(rng.uniform(0, 320, (16, 2)), jnp.float32),
+        kp_ur=jnp.full((16,), -1.0, jnp.float32),
+        kp_depth=jnp.ones((16,), jnp.float32),
+        kp_octave=jnp.zeros((16,), jnp.int32),
+        kp_angle=jnp.zeros((16,), jnp.float32),
+        kp_valid=jnp.ones((16,), bool),
+        desc=jnp.zeros((16, 32), jnp.uint8),
+    )
+    st, _ = ms.add_keyframe(st, jnp.eye(4), 0.0, 0, **kp)
+    out = tmp_path / "live.html"
+    p = html_viewer.export_html(st, out, live_refresh=2.0, gen=7)
+    html = p.read_text()
+    assert 'http-equiv="refresh"' in html
+    assert '"gen": 7' in html and '"live": 2.0' in html
+    assert "localStorage" in html
+
+    class FakeSystem:
+        def __init__(self, state):
+            self.map = state
+            self.n_keyframes = 1
+
+    sys_ = FakeSystem(st)
+    v = Viewer(sys_, out_dir=tmp_path / "v", every_n=10**9,
+               live_html=out, live_every_kfs=2)
+
+    class F:  # minimal frame stub (update() won't reach the PNG path)
+        kp_xy = np.zeros((1, 2)); valid = np.zeros(1, bool)
+
+    v.update(np.zeros((4, 4)), F(), None)
+    assert v._live_gen == 0  # only 1 KF: below the 2-KF rewrite threshold
+    sys_.n_keyframes = 3
+    v.update(np.zeros((4, 4)), F(), None)
+    assert v._live_gen == 1
+    assert '"gen": 1' in out.read_text()
