@@ -409,75 +409,268 @@ def _solve_pcg(cam, poses, pts, tb: FullBATables, robust, lam,
     return dx_cam, dx_pt
 
 
-def _solve_pcg_dual(cam, poses, pts, tb: FullBATables, robust, lam,
-                    cg_iters: int, cg_tol: float):
-    """One damped LM step via PCG with NO one-hot operator — the
-    reference-scale path. The one-hot solvers carry a (P,O,K) tensor,
-    which is O(P·O·K) memory (tens of GB at K>=1024, P>=256k); this form
-    is O(P·O + K·N): every point-side reduction is lane-local in the
-    point-major layout, every camera-side reduction is lane-local in the
-    camera-major layout, and the only cross-side traffic is two element
-    gathers per CG matvec (x to point lanes, z to camera lanes).
-    Preconditioner: damped Hcc block-Jacobi (the exact S-diagonal needs
-    per-lane Hpp_inv gathers — another (K,N,3,3) tensor — and measured no
-    iteration-count win on the fixtures). Returns (dx_cam, dx_pt)."""
-    K = poses.shape[0]
+class PlanarBATables(NamedTuple):
+    """Flat-lane (1-D plane) layout of the full-map problem — the
+    reference-scale storage. TPU tiles the LAST TWO dims of every array to
+    (8,128): a (P,O,4,4) pose gather at P=262k pads 32-170x (measured
+    8 GB for 256 MB of data, the compile OOM that killed the first scale
+    run), while 1-D planes of the same lanes pad ~1x. Point-major lanes
+    are stored flat (E = P*O) and reshaped (fused) at reduction time;
+    camera-major lanes likewise (Ec = K*N)."""
+
+    po_idx: jax.Array  # (E,) i32 observing KF slot per point-major lane
+    po_pt: jax.Array  # (E,) i32 the lane's point slot (p = lane // O)
+    po_u: jax.Array  # (E,)
+    po_v: jax.Array  # (E,)
+    po_ur: jax.Array  # (E,)
+    po_is2: jax.Array  # (E,)
+    po_valid: jax.Array  # (E,) bool
+    cm_pt: jax.Array  # (Ec,) i32 observed point slot per camera-major lane
+    cm_cam: jax.Array  # (Ec,) i32 the lane's camera slot (k = lane // N)
+    cm_u: jax.Array  # (Ec,)
+    cm_v: jax.Array  # (Ec,)
+    cm_ur: jax.Array  # (Ec,)
+    cm_is2: jax.Array  # (Ec,)
+    cm_valid: jax.Array  # (Ec,) bool
+    cam_free: jax.Array  # (K,) bool
+    cam_valid: jax.Array  # (K,)
+    pt_valid: jax.Array  # (P,)
+    shape: tuple  # static (P, O, K, N)
+
+
+def build_planar_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
+                        fixed_mask: jax.Array | None = None
+                        ) -> PlanarBATables:
+    """`build_tables` in the flat-lane layout (same edge-set semantics)."""
+    K, N = state.kf_kp_point.shape
+    P = state.pt_obs_kf.shape[0]
+    O = O_GBA
+    n_lv = inv_level_sigma2.shape[0]
+    o_kf = state.pt_obs_kf[:, :O]
+    o_ix = state.pt_obs_idx[:, :O]
+    po_live = (o_kf >= 0) & state.pt_valid[:, None]
+    po_live = po_live & state.kf_valid[jnp.clip(o_kf, 0)]
+    sk, si = jnp.clip(o_kf, 0), jnp.clip(o_ix, 0)
+    po_u = state.kf_kp_xy[..., 0][sk, si].reshape(-1)
+    po_v = state.kf_kp_xy[..., 1][sk, si].reshape(-1)
+    po_ur = state.kf_kp_ur[sk, si].reshape(-1)
+    po_oct = state.kf_kp_octave[sk, si]
+    po_is2 = inv_level_sigma2[jnp.clip(po_oct, 0, n_lv - 1)].reshape(-1)
+    po_pt = jnp.repeat(jnp.arange(P, dtype=jnp.int32), O)
+
+    c_pt = state.kf_kp_point
+    cm_live = (c_pt >= 0) & state.kf_valid[:, None]
+    cm_live = cm_live & state.pt_valid[jnp.clip(c_pt, 0)]
+    rev_kf = state.pt_obs_kf[:, :O][jnp.clip(c_pt, 0)]
+    rev_ix = state.pt_obs_idx[:, :O][jnp.clip(c_pt, 0)]
+    k_ids = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+    n_ids = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+    has_rev = ((rev_kf == k_ids) & (rev_ix == n_ids)).any(-1)
+    cm_live = cm_live & has_rev
+    cm_is2 = inv_level_sigma2[
+        jnp.clip(state.kf_kp_octave, 0, n_lv - 1)].reshape(-1)
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(K, bool).at[0].set(True)
+    return PlanarBATables(
+        po_idx=jnp.where(po_live, o_kf, -1).reshape(-1),
+        po_pt=po_pt,
+        po_u=po_u, po_v=po_v, po_ur=po_ur, po_is2=po_is2,
+        po_valid=po_live.reshape(-1),
+        cm_pt=jnp.where(cm_live, c_pt, -1).reshape(-1),
+        cm_cam=jnp.repeat(jnp.arange(K, dtype=jnp.int32), N),
+        cm_u=state.kf_kp_xy[..., 0].reshape(-1),
+        cm_v=state.kf_kp_xy[..., 1].reshape(-1),
+        cm_ur=state.kf_kp_ur.reshape(-1),
+        cm_is2=cm_is2,
+        cm_valid=cm_live.reshape(-1),
+        cam_free=state.kf_valid & ~fixed_mask,
+        cam_valid=state.kf_valid,
+        pt_valid=state.pt_valid,
+        shape=(P, O, K, N),
+    )
+
+
+def _take_pose_planes(poses: jax.Array, idx: jax.Array):
+    """12 1-D gathers of a (K,4,4) pose table -> (R (3,3,E), t (3,E))."""
+    R = [[jnp.take(poses[:, i, j], idx) for j in range(3)]
+         for i in range(3)]
+    t = [jnp.take(poses[:, i, 3], idx) for i in range(3)]
+    return R, t
+
+
+def _planar_edge_terms(cam, R, t, X, u_obs, v_obs, ur_obs, is2):
+    """Edge terms with every quantity a 1-D plane (R: 3x3 list of (E,),
+    t/X: 3-lists). Returns r (3 planes), Jc (3x6 planes), Jp (3x3 planes),
+    chi2, ok_z, is_st — identical math to `_edge_terms`."""
+    p = [R[i][0] * X[0] + R[i][1] * X[1] + R[i][2] * X[2] + t[i]
+         for i in range(3)]
+    z = p[2]
+    ok_z = z > 1e-6
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    zi = 1.0 / zs
+    zi2 = zi * zi
+    u = cam.fx * p[0] * zi + cam.cx
+    v = cam.fy * p[1] * zi + cam.cy
+    ur_pred = u - cam.bf * zi
+    is_st = ur_obs >= 0
+    zero = jnp.zeros_like(z)
+    r = [u_obs - u, v_obs - v,
+         jnp.where(is_st, ur_obs - ur_pred, 0.0)]
+    # A = [du/dp; dv/dp; dur/dp (stereo only)] (3x3 planes)
+    A = [[cam.fx * zi, zero, -cam.fx * p[0] * zi2],
+         [zero, cam.fy * zi, -cam.fy * p[1] * zi2],
+         [jnp.where(is_st, cam.fx * zi, 0.0), zero,
+          jnp.where(is_st, -cam.fx * p[0] * zi2 + cam.bf * zi2, 0.0)]]
+    # Jc_pt = [I | -hat(p)] (3x6); Jc = -A @ Jc_pt, Jp = -A @ R
+    hat = [[zero, -p[2], p[1]], [p[2], zero, -p[0]], [-p[1], p[0], zero]]
+    Jc = [[None] * 6 for _ in range(3)]
+    Jp = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            Jc[i][j] = -A[i][j]  # translation block: -A @ I
+            Jc[i][3 + j] = sum(A[i][k] * hat[k][j] for k in range(3))
+            Jp[i][j] = -sum(A[i][k] * R[k][j] for k in range(3))
+    chi2 = (r[0] * r[0] + r[1] * r[1] + r[2] * r[2]) * is2
+    return r, Jc, Jp, chi2, ok_z, is_st
+
+
+def _planar_po_terms(cam, poses, pts, tb: PlanarBATables):
+    R, t = _take_pose_planes(poses, jnp.clip(tb.po_idx, 0))
+    X = [jnp.take(pts[:, c], tb.po_pt) for c in range(3)]
+    return _planar_edge_terms(cam, R, t, X, tb.po_u, tb.po_v, tb.po_ur,
+                              tb.po_is2)
+
+
+def _planar_cm_terms(cam, poses, pts, tb: PlanarBATables):
+    R, t = _take_pose_planes(poses, tb.cm_cam)
+    safe = jnp.clip(tb.cm_pt, 0)
+    X = [jnp.take(pts[:, c], safe) for c in range(3)]
+    return _planar_edge_terms(cam, R, t, X, tb.cm_u, tb.cm_v, tb.cm_ur,
+                              tb.cm_is2)
+
+
+def _accept_cost_planar(cam, poses, pts, tb: PlanarBATables, robust):
+    _, _, _, chi2, ok_z, is_st = _planar_po_terms(cam, poses, pts, tb)
+    delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+    d = jnp.sqrt(delta2)
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * d * jnp.sqrt(jnp.maximum(chi2, 0)) - delta2)
+    val = jnp.where(robust, rho, chi2)
+    val = jnp.where(ok_z, val, _BEHIND_PENALTY)
+    val = jnp.where(jnp.isfinite(val), val, _BEHIND_PENALTY)
+    return jnp.sum(jnp.where(tb.po_valid, val, 0.0))
+
+
+def _inv3x3_planar(H):
+    """Adjugate inverse of a 3x3 list-of-planes matrix."""
+    a, b, c = H[0]
+    d, e, f = H[1]
+    g, h, i = H[2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    idet = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    return [[A11 * idet, A12 * idet, A13 * idet],
+            [A21 * idet, A22 * idet, A23 * idet],
+            [A31 * idet, A32 * idet, A33 * idet]]
+
+
+def _solve_pcg_planar(cam, poses, pts, tb: PlanarBATables, robust, lam,
+                      cg_iters: int, cg_tol: float):
+    """One damped LM step via PCG, everything in flat-lane planes — the
+    reference-scale solver (no (P,O,K) one-hot, no (lanes,·,·) tensors;
+    see PlanarBATables). Camera-side state lives as (K,6)/(K,6,6) (small
+    leading dims — benign padding); point-side blocks as 1-D (P,) planes.
+    Preconditioner: damped-Hcc block-Jacobi. Returns (dx_cam, dx_pt)."""
+    P, O, K, N = tb.shape
     dtype = pts.dtype
 
-    # ---- point-major blocks (gather path: oh=None) ----
-    r_po, Jc_po, Jp_po, chi2_po, okz_po, st_po = _po_terms(
-        cam, poses, pts, tb, None)
-    free_po = tb.cam_free[jnp.clip(tb.po_cam, 0)] & tb.po_valid
-    Jc_po = jnp.where(free_po[..., None, None], Jc_po, 0.0)
-    w_po = _weights(chi2_po, okz_po, tb.po_valid, tb.po_is2, st_po, robust)
-    wJp = Jp_po * w_po[..., None, None]
-    wJc = Jc_po * w_po[..., None, None]
-    Hpp = jnp.sum(wJp[..., :, :, None] * Jp_po[..., :, None, :], axis=(1, 2))
-    gp = -jnp.sum(wJp * r_po[..., None], axis=(1, 2))  # (P,3)
-    W_po = jnp.sum(wJc[..., :, :, None] * Jp_po[..., :, None, :],
-                   axis=-3)  # (P,O,6,3)
-    pt_has = (jnp.sum(w_po, -1) > 0) & tb.pt_valid
-    eye3 = jnp.eye(3, dtype=dtype)
-    Hpp_diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-    Hpp_d = Hpp + eye3 * (lam * Hpp_diag + 1e-8)[..., None]
-    Hpp_inv = lm.inv3x3(jnp.where(pt_has[:, None, None], Hpp_d, eye3[None]))
-    Hpp_inv = jnp.where(pt_has[:, None, None], Hpp_inv, 0.0)
+    def weights(chi2, ok_z, live, is2, is_st):
+        delta2 = jnp.where(is_st, lm.CHI2_STEREO, lm.CHI2_MONO)
+        w_rob = jnp.where(robust, lm.huber_weight(chi2, delta2), 1.0)
+        return jnp.where(live & ok_z, is2 * w_rob, 0.0)
 
-    # ---- camera-major blocks (poses broadcast along the row) ----
-    r_cm, Jc_cm, Jp_cm, chi2_cm, okz_cm, st_cm = _cm_terms(
-        cam, poses, pts, tb)
-    free_cm = tb.cam_free[:, None] & tb.cm_valid
-    Jc_cm = jnp.where(free_cm[..., None, None], Jc_cm, 0.0)
-    w_cm = _weights(chi2_cm, okz_cm, tb.cm_valid, tb.cm_is2, st_cm, robust)
-    wJc_cm = Jc_cm * w_cm[..., None, None]
-    Hcc = jnp.sum(wJc_cm[..., :, :, None] * Jc_cm[..., :, None, :],
-                  axis=(1, 2))  # (K,6,6) lane-local per camera row
-    gc = -jnp.sum(wJc_cm * r_cm[..., None], axis=(1, 2))  # (K,6)
-    W_cm = jnp.sum(wJc_cm[..., :, :, None] * Jp_cm[..., :, None, :],
-                   axis=-3)  # (K,N,6,3)
+    # ---- point-major blocks ----
+    r, Jc, Jp, chi2, ok_z, is_st = _planar_po_terms(cam, poses, pts, tb)
+    free_lane = jnp.take(tb.cam_free, jnp.clip(tb.po_idx, 0)) & tb.po_valid
+    w = weights(chi2, ok_z, tb.po_valid, tb.po_is2, is_st)
+    wf = jnp.where(free_lane, w, 0.0)  # weight for camera-side terms
+
+    def po_sum(plane):  # (E,) -> (P,) lane sum per point
+        return jnp.sum(plane.reshape(P, O), axis=1)
+
+    # Hpp[a][b] = sum_r w * Jp[r][a] * Jp[r][b]  (per point)
+    Hpp = [[po_sum(sum(w * Jp[k][a] * Jp[k][b] for k in range(3)))
+            for b in range(3)] for a in range(3)]
+    gp = [-po_sum(sum(w * Jp[k][a] * r[k] for k in range(3)))
+          for a in range(3)]
+    pt_has = (po_sum(w) > 0) & tb.pt_valid
+    Hpp_d = [[Hpp[a][b] + (lam * Hpp[a][a] + 1e-8) * (a == b)
+              for b in range(3)] for a in range(3)]
+    Hpp_d = [[jnp.where(pt_has, Hpp_d[a][b], 1.0 * (a == b))
+              for b in range(3)] for a in range(3)]
+    Hpp_inv = _inv3x3_planar(Hpp_d)
+    Hpp_inv = [[jnp.where(pt_has, Hpp_inv[a][b], 0.0) for b in range(3)]
+               for a in range(3)]
+    # per-lane W blocks (6x3 planes), masked by the free-camera weight
+    W_po = [[sum(wf * Jc[k][a] * Jp[k][b] for k in range(3))
+             for b in range(3)] for a in range(6)]
+
+    # ---- camera-major blocks ----
+    rc, Jcc, Jpc, chi2c, okzc, istc = _planar_cm_terms(cam, poses, pts, tb)
+    free_cm = jnp.take(tb.cam_free, tb.cm_cam) & tb.cm_valid
+    wc = weights(chi2c, okzc, tb.cm_valid, tb.cm_is2, istc)
+    wcf = jnp.where(free_cm, wc, 0.0)
+
+    def cm_sum(plane):  # (Ec,) -> (K,)
+        return jnp.sum(plane.reshape(K, N), axis=1)
+
+    Hcc = jnp.stack([jnp.stack([
+        cm_sum(sum(wcf * Jcc[k][a] * Jcc[k][b] for k in range(3)))
+        for b in range(6)], -1) for a in range(6)], -2)  # (K,6,6)
+    gc = jnp.stack([
+        -cm_sum(sum(wcf * Jcc[k][a] * rc[k] for k in range(3)))
+        for a in range(6)], -1)  # (K,6)
+    W_cm = [[sum(wcf * Jcc[k][a] * Jpc[k][b] for k in range(3))
+             for b in range(3)] for a in range(6)]
     eye6 = jnp.eye(6, dtype=dtype)
     Hcc_diag = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
     Hcc_d = Hcc + eye6 * (lam * Hcc_diag + 1e-8)[..., None]
     Hcc_d = jnp.where(tb.cam_free[:, None, None], Hcc_d, eye6[None])
 
+    def hpp_apply(vec3):  # Hpp_inv @ (P,)-planes vector
+        return [sum(Hpp_inv[a][b] * vec3[b] for b in range(3))
+                for a in range(3)]
+
     # rhs = gc - W Hpp^-1 gp
-    gp_z = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)  # (P,3)
-    gpz_lane = gp_z[jnp.clip(tb.cm_pt, 0)]  # (K,N,3) gather
-    rhs = gc - jnp.sum(
-        jnp.sum(W_cm * gpz_lane[:, :, None, :], axis=-1), axis=1)
+    gpz = hpp_apply(gp)
+    gpz_lane = [jnp.take(gpz[b], jnp.clip(tb.cm_pt, 0)) for b in range(3)]
+    rhs = gc - jnp.stack([
+        cm_sum(sum(W_cm[a][b] * gpz_lane[b] for b in range(3)))
+        for a in range(6)], -1)
     rhs = jnp.where(tb.cam_free[:, None], rhs, 0.0)
 
-    safe_po = jnp.clip(tb.po_cam, 0)
-    safe_cm = jnp.clip(tb.cm_pt, 0)
+    po_cam_safe = jnp.clip(tb.po_idx, 0)
+    cm_pt_safe = jnp.clip(tb.cm_pt, 0)
 
-    def matvec(x):  # (K,6) -> (K,6)
-        a = jnp.sum(Hcc_d * x[:, None, :], axis=-1)
-        x_lane = x[safe_po]  # (P,O,6) gather; dead lanes have W_po = 0
-        t = jnp.sum(W_po * x_lane[..., :, None], axis=(1, 2))  # (P,3)
-        z = jnp.sum(Hpp_inv * t[:, None, :], axis=-1)  # (P,3)
-        z_lane = z[safe_cm]  # (K,N,3) gather; dead lanes have W_cm = 0
-        b = jnp.sum(jnp.sum(W_cm * z_lane[:, :, None, :], axis=-1), axis=1)
-        return a - b
+    def matvec(x):  # (K,6)
+        a_term = jnp.sum(Hcc_d * x[:, None, :], axis=-1)
+        x_lane = [jnp.take(x[:, a], po_cam_safe) for a in range(6)]
+        t3 = [po_sum(sum(W_po[a][b] * x_lane[a] for a in range(6)))
+              for b in range(3)]
+        z3 = hpp_apply(t3)
+        z_lane = [jnp.take(z3[b], cm_pt_safe) for b in range(3)]
+        b_term = jnp.stack([
+            cm_sum(sum(W_cm[a][b] * z_lane[b] for b in range(3)))
+            for a in range(6)], -1)
+        return a_term - b_term
 
     Minv = jnp.linalg.inv(Hcc_d)
     Minv = jnp.where(jnp.isfinite(Minv), Minv, eye6[None])
@@ -492,30 +685,31 @@ def _solve_pcg_dual(cam, poses, pts, tb: FullBATables, robust, lam,
     rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
 
     def cond(c):
-        i, x, r, p, rz = c
-        return (i < cg_iters) & (jnp.sqrt(jnp.sum(r * r)) / rhs_norm
+        i, x, rr, p, rz = c
+        return (i < cg_iters) & (jnp.sqrt(jnp.sum(rr * rr)) / rhs_norm
                                  > cg_tol)
 
     def body(c):
-        i, x, r, p, rz = c
+        i, x, rr, p, rz = c
         Ap = matvec(p)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
-        r = r - alpha * Ap
-        z = apply_minv(r)
-        rz_new = jnp.sum(r * z)
+        rr = rr - alpha * Ap
+        z = apply_minv(rr)
+        rz_new = jnp.sum(rr * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p
-        return i + 1, x, r, p, rz_new
+        return i + 1, x, rr, p, rz_new
 
-    _, dx_cam, _, _, _ = jax.lax.while_loop(cond, body,
-                                            (0, x0, r0, p0, rz0))
+    _, dx_cam, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
     dx_cam = jnp.where(jnp.isfinite(dx_cam) & tb.cam_free[:, None],
                        dx_cam, 0.0)
-    # back-substitute landmarks: dx_p = Hpp^-1 (gp - W^T dx_cam)
-    dx_lane = dx_cam[safe_po]  # (P,O,6)
-    Wt_dx = jnp.sum(W_po * dx_lane[..., :, None], axis=(1, 2))
-    dx_pt = jnp.sum(Hpp_inv * (gp - Wt_dx)[:, None, :], axis=-1)
+    # back-substitute landmarks
+    dx_lane = [jnp.take(dx_cam[:, a], po_cam_safe) for a in range(6)]
+    Wt_dx = [po_sum(sum(W_po[a][b] * dx_lane[a] for a in range(6)))
+             for b in range(3)]
+    dxp = hpp_apply([gp[b] - Wt_dx[b] for b in range(3)])
+    dx_pt = jnp.stack(dxp, -1)
     dx_pt = jnp.where(pt_has[:, None], dx_pt, 0.0)
     dx_pt = jnp.where(jnp.isfinite(dx_pt), dx_pt, 0.0)
     return dx_cam, dx_pt
@@ -541,7 +735,6 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
 
     Returns (kf_pose (K,4,4), pt_pos (P,3), final_cost).
     """
-    tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
     poses = state.kf_pose
     pts = state.pt_pos
     K = poses.shape[0]
@@ -550,12 +743,20 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
         abort = jnp.asarray(False)
     # "auto" thresholds on the PADDED capacity K (the only shape visible
     # under jit); callers that know the live count should pass the solver
-    # explicitly (pipeline/gba.GBAJob does). "pcg_dual" never builds the
-    # (P,O,K) one-hot — the reference-scale path (K >= 1024).
+    # explicitly (pipeline/gba.GBAJob does). "pcg_dual" uses the planar
+    # flat-lane tables — the reference-scale path (K >= 1024), where both
+    # the (P,O,K) one-hot AND any (lanes,·,·) small-trailing-dim tensor
+    # are memory-impossible under TPU tile padding.
     use_dense = solver == "dense" or (solver == "auto" and K <= 384)
-    use_oh = use_dense or solver == "pcg"
-    oh = _onehot_po(tb, K) if use_oh else None
-    cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
+    if solver == "pcg_dual":
+        tb = build_planar_tables(state, jnp.asarray(inv_level_sigma2),
+                                 fixed_mask)
+        oh = None
+        cur0 = _accept_cost_planar(cam, poses, pts, tb, robust_flag)
+    else:
+        tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
+        oh = _onehot_po(tb, K) if (use_dense or solver == "pcg") else None
+        cur0 = _accept_cost(cam, poses, pts, tb, robust_flag, oh)
     free = tb.cam_free[:, None]
 
     def body(carry, _):
@@ -567,14 +768,20 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
                 dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag,
                                         lam, oh)
             elif solver == "pcg_dual":
-                dxc, dxp = _solve_pcg_dual(cam, poses, pts, tb, robust_flag,
-                                           lam, cg_iters, cg_tol)
+                dxc, dxp = _solve_pcg_planar(cam, poses, pts, tb,
+                                             robust_flag, lam, cg_iters,
+                                             cg_tol)
             else:
                 dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
                                       cg_iters, cg_tol, oh)
             new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
             new_pts = pts + dxp
-            new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
+            if solver == "pcg_dual":
+                new = _accept_cost_planar(cam, new_poses, new_pts, tb,
+                                          robust_flag)
+            else:
+                new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag,
+                                   oh)
             accept = new < cur
             poses_ = jnp.where(accept, new_poses, poses)
             pts_ = jnp.where(accept, new_pts, pts)
@@ -600,10 +807,10 @@ def full_bundle_adjustment(cam: projection.Camera, state: ms.MapState,
 # Incremental (abortable) form: the host owns the LM loop boundary
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("robust",))
+@partial(jax.jit, static_argnames=("robust", "solver"))
 def gba_init(cam: projection.Camera, state: ms.MapState,
              inv_level_sigma2: jax.Array, robust: bool = False,
-             fixed_mask: jax.Array | None = None):
+             fixed_mask: jax.Array | None = None, solver: str = "dense"):
     """Snapshot the problem tables + initial cost for an incremental GBA.
 
     Returns (tables, (poses, pts, lam, cost)) — the carry threaded through
@@ -613,11 +820,20 @@ def gba_init(cam: projection.Camera, state: ms.MapState,
     `src/LoopClosing.cc:604-631`); here an aborted job simply stops issuing
     iteration programs, so the remaining ~n_iters x ~30 ms of device work
     never serializes with tracking."""
-    tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
-    # gather-path cost (oh=None): runs once per job, and the (P,O,K)
-    # one-hot must never materialize on the reference-scale path
-    cur0 = _accept_cost(cam, state.kf_pose, state.pt_pos, tb,
-                        jnp.asarray(robust), None)
+    if solver == "pcg_dual":
+        # reference scale: flat-lane planar tables — a (P,O,·,·) gather
+        # pads 32-170x under TPU tiling (the first scale run OOM'd the
+        # compile at 16 GB on exactly that)
+        tb = build_planar_tables(state, jnp.asarray(inv_level_sigma2),
+                                 fixed_mask)
+        cur0 = _accept_cost_planar(cam, state.kf_pose, state.pt_pos, tb,
+                                   jnp.asarray(robust))
+    else:
+        tb = build_tables(state, jnp.asarray(inv_level_sigma2), fixed_mask)
+        # gather-path cost (oh=None): one pass per job; the (P,O,K)
+        # one-hot never materializes here
+        cur0 = _accept_cost(cam, state.kf_pose, state.pt_pos, tb,
+                            jnp.asarray(robust), None)
     lam0 = jnp.asarray(1e-4, state.pt_pos.dtype)
     # final carry element: small-gain streak counter (device-side early
     # stop — host fetches, even is_ready(), cost a tunnel round trip)
@@ -626,7 +842,7 @@ def gba_init(cam: projection.Camera, state: ms.MapState,
 
 
 @partial(jax.jit, static_argnames=("robust", "solver", "cg_iters"))
-def gba_iterate(cam: projection.Camera, tb: FullBATables, poses, pts, lam,
+def gba_iterate(cam: projection.Camera, tb, poses, pts, lam,
                 cur, small, robust: bool = False, solver: str = "dense",
                 cg_iters: int = 100, cg_tol: float = 1e-3,
                 rtol: float = 1e-5):
@@ -649,14 +865,18 @@ def gba_iterate(cam: projection.Camera, tb: FullBATables, poses, pts, lam,
             dxc, dxp = _solve_dense(cam, poses, pts, tb, robust_flag, lam,
                                     oh)
         elif solver == "pcg_dual":
-            dxc, dxp = _solve_pcg_dual(cam, poses, pts, tb, robust_flag,
-                                       lam, cg_iters, cg_tol)
+            dxc, dxp = _solve_pcg_planar(cam, poses, pts, tb, robust_flag,
+                                         lam, cg_iters, cg_tol)
         else:
             dxc, dxp = _solve_pcg(cam, poses, pts, tb, robust_flag, lam,
                                   cg_iters, cg_tol, oh)
         new_poses = se3.se3_exp(jnp.where(free, dxc, 0.0)) @ poses
         new_pts = pts + dxp
-        new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
+        if solver == "pcg_dual":
+            new = _accept_cost_planar(cam, new_poses, new_pts, tb,
+                                      robust_flag)
+        else:
+            new = _accept_cost(cam, new_poses, new_pts, tb, robust_flag, oh)
         accept = new < cur
         # small gains count only on ACCEPTED steps (a rejection adapts
         # lambda and retries; see local_ba._run_phase)

@@ -87,7 +87,8 @@ class GBAJob:
                 self._solver = ("pcg" if oh_bytes < 2 * 1024**3
                                 else "pcg_dual")
             self._tb, self._carry = global_ba.gba_init(
-                cam, state, jnp.asarray(inv_level_sigma2), robust=robust)
+                cam, state, jnp.asarray(inv_level_sigma2), robust=robust,
+                solver=self._solver)
             self.iters_left = n_iters
 
     def pump(self, max_iters: int = 1) -> bool:
