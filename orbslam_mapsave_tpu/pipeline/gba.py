@@ -76,16 +76,20 @@ class GBAJob:
             # Solver picked from the LIVE keyframe count host-side: the
             # jit-side "auto" rule sees only the PADDED capacity
             self._incremental = True
-            if self.snap_n_kf <= 384:
+            # memory is CAPACITY-driven (padded tables), quality/live-count
+            # only picks between the affordable solvers: the dense/one-hot
+            # paths carry (P,O,K) operators and (P,O,4,4) pose gathers
+            # sized by capacity — at reference-scale caps those pad to
+            # tens of GB under TPU tiling regardless of how few keyframes
+            # are live (the r5 scale run OOM'd on a 150-live-KF map)
+            oh_bytes = (state.pt_capacity * global_ba.O_GBA
+                        * state.kf_capacity * 4)
+            if oh_bytes >= 2 * 1024**3:
+                self._solver = "pcg_dual"
+            elif self.snap_n_kf <= 384:
                 self._solver = "dense"
             else:
-                # the one-hot PCG carries a (P,O,K) operator; switch to
-                # the dual-layout gather solver once that would exceed
-                # ~2 GB (reference-scale maps)
-                oh_bytes = (state.pt_capacity * global_ba.O_GBA
-                            * state.kf_capacity * 4)
-                self._solver = ("pcg" if oh_bytes < 2 * 1024**3
-                                else "pcg_dual")
+                self._solver = "pcg"
             self._tb, self._carry = global_ba.gba_init(
                 cam, state, jnp.asarray(inv_level_sigma2), robust=robust,
                 solver=self._solver)
