@@ -435,7 +435,8 @@ class PlanarBATables(NamedTuple):
     cam_free: jax.Array  # (K,) bool
     cam_valid: jax.Array  # (K,)
     pt_valid: jax.Array  # (P,)
-    shape: tuple  # static (P, O, K, N)
+    # (P, O, K, N are derived from array shapes — a stored int tuple would
+    # become TRACED leaves when the tables pass through a jit boundary)
 
 
 def build_planar_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
@@ -486,7 +487,6 @@ def build_planar_tables(state: ms.MapState, inv_level_sigma2: jax.Array,
         cam_free=state.kf_valid & ~fixed_mask,
         cam_valid=state.kf_valid,
         pt_valid=state.pt_valid,
-        shape=(P, O, K, N),
     )
 
 
@@ -589,7 +589,10 @@ def _solve_pcg_planar(cam, poses, pts, tb: PlanarBATables, robust, lam,
     see PlanarBATables). Camera-side state lives as (K,6)/(K,6,6) (small
     leading dims — benign padding); point-side blocks as 1-D (P,) planes.
     Preconditioner: damped-Hcc block-Jacobi. Returns (dx_cam, dx_pt)."""
-    P, O, K, N = tb.shape
+    P = tb.pt_valid.shape[0]
+    O = tb.po_valid.shape[0] // P
+    K = tb.cam_free.shape[0]
+    N = tb.cm_valid.shape[0] // K
     dtype = pts.dtype
 
     def weights(chi2, ok_z, live, is2, is_st):
