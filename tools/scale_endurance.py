@@ -50,26 +50,34 @@ CACHE = Path(__file__).resolve().parents[1] / ".bench_cache"
 
 
 def sweep_trajectory(n):
-    """Toroidal sweep: outward-looking circle with slowly varying radius
-    and height — each revolution is a new vantage band."""
+    """Volume-filling Lissajous wander with an independent slow yaw sweep:
+    position novelty (the camera approaches every wall from many offsets
+    and distances) drives continuous keyframe creation, while the periodic
+    yaw alignment re-observes earlier vantages for loop closures. The
+    first toroidal design re-viewed the same wall bands and produced only
+    ~1 keyframe per 50 frames — far below the reference-scale target."""
     poses = np.zeros((n, 4, 4))
     for i in range(n):
         u = i / n
-        th = 2 * np.pi * REVS * u
-        radius = 0.45 + 0.22 * np.sin(2 * np.pi * 2.0 * u)
-        height = 1.1 * (u - 0.5)
-        c, s = np.cos(th), np.sin(th)
-        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        x = 1.55 * np.sin(2 * np.pi * 3.0 * u + 0.7)
+        y = 1.15 * np.sin(2 * np.pi * 5.0 * u + 1.9)
+        z = 1.55 * np.sin(2 * np.pi * 4.0 * u + 0.2)
+        yaw = 2 * np.pi * 9.0 * u
+        pitch = 0.25 * np.sin(2 * np.pi * 6.0 * u)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
         T = np.eye(4)
-        T[:3, :3] = R
-        T[:3, 3] = [radius * s, height + 0.04 * np.sin(6 * th), radius * c]
+        T[:3, :3] = Ry @ Rx
+        T[:3, 3] = [x, y, z]
         poses[i] = T
     return poses
 
 
 def get_sequence():
     CACHE.mkdir(exist_ok=True)
-    f = CACHE / f"scale_{W}x{H}_{N_FRAMES}_v1.pkl"
+    f = CACHE / f"scale_{W}x{H}_{N_FRAMES}_v2.pkl"
     if f.exists():
         with open(f, "rb") as fh:
             return pickle.load(fh)
@@ -131,7 +139,8 @@ def run_pass(slam, frames_dev, timed):
     for i in range(N_FRAMES):
         g, d = frames_dev[i]
         t0 = time.perf_counter()
-        slam.track_rgbd(g, d, 1000.0 + i / 30.0)
+        slam.track_rgbd(g.astype(jnp.float32), d.astype(jnp.float32),
+                        1000.0 + i / 30.0)
         t_frame[i] = time.perf_counter() - t0
         if i % 1000 == 999:
             print(f"  frame {i}: cum {time.perf_counter()-t0_all:.1f}s "
@@ -146,7 +155,8 @@ def main():
     data = get_sequence()
     voc = get_vocabulary(data)
     slam = make_system(voc)
-    frames_dev = [(jnp.asarray(g, jnp.float32), jnp.asarray(d, jnp.float32))
+    # stage in sensor dtypes (u8/f16, half the HBM of f32); cast at call
+    frames_dev = [(jnp.asarray(g), jnp.asarray(d))
                   for g, d in data["frames"]]
     jax.block_until_ready(frames_dev)
 
