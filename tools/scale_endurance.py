@@ -62,8 +62,11 @@ def sweep_trajectory(n):
         x = 1.55 * np.sin(2 * np.pi * 3.0 * u + 0.7)
         y = 1.15 * np.sin(2 * np.pi * 5.0 * u + 1.9)
         z = 1.55 * np.sin(2 * np.pi * 4.0 * u + 0.2)
-        yaw = 2 * np.pi * 9.0 * u
-        pitch = 0.25 * np.sin(2 * np.pi * 6.0 * u)
+        # ~1 deg/frame yaw: keyframe creation tracks view-direction
+        # turnover (9 revs gave 1 KF per ~50 frames; 44 revs lost
+        # tracking), paired with a tighter ThDepth for coverage pressure
+        yaw = 2 * np.pi * 22.0 * u
+        pitch = 0.18 * np.sin(2 * np.pi * 9.0 * u)
         cy, sy = np.cos(yaw), np.sin(yaw)
         cp, sp = np.cos(pitch), np.sin(pitch)
         Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
@@ -77,7 +80,7 @@ def sweep_trajectory(n):
 
 def get_sequence():
     CACHE.mkdir(exist_ok=True)
-    f = CACHE / f"scale_{W}x{H}_{N_FRAMES}_v2.pkl"
+    f = CACHE / f"scale_{W}x{H}_{N_FRAMES}_v4.pkl"
     if f.exists():
         with open(f, "rb") as fh:
             return pickle.load(fh)
@@ -103,7 +106,10 @@ def make_system(voc):
     cfg = config_mod.SystemConfig()
     cfg.camera = config_mod.CameraConfig(
         fx=FX, fy=FX, cx=W / 2, cy=H / 2, width=W, height=H,
-        bf=FX * 0.08, th_depth=50.0, fps=30,
+        # ThDepth 30 (2.4 m at bf=0.08*fx): beyond-2.4 m features do not
+        # count as close, so mid-room vantages keep ratioMap low and the
+        # keyframe policy (Tracking.cc:1277-1295 analogue) under pressure
+        bf=FX * 0.08, th_depth=30.0, fps=30,
     )
     cfg.orb = config_mod.ORBConfig(n_features=1000, n_levels=4,
                                    scale_factor=1.5)
